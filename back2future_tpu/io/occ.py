@@ -1,0 +1,72 @@
+"""Three-state occlusion derivation from depth + flow (pure NumPy).
+
+Reference: flowExtensions.lua:172-239 (`getOCC`) — forward/backward z-buffer
+splatting followed by a 3x3 median filter. States: 0 = occluded backward
+(pixel disappears toward the past), 0.5 = visible, 1 = occluded forward.
+
+The reference iterates pixels column-major with last-writer-wins z-buffer
+updates; that traversal order is part of the observable behavior, so the
+splatting stays an explicit loop (this is offline data preparation, not a
+training hot path).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _median_lower(vals: np.ndarray) -> float:
+    """torch :median() — the ceil(n/2)-th smallest (lower median)."""
+    v = np.sort(vals, axis=None)
+    return float(v[(v.size + 1) // 2 - 1])
+
+
+def get_occ(depth: np.ndarray, flow: np.ndarray) -> np.ndarray:
+    """depth (H, W); flow (H, W, 2) [u, v] -> occlusion (H, W) in {0, .5, 1}."""
+    depth = np.asarray(depth, np.float64)
+    flow = np.asarray(flow, np.float64)
+    h, w = depth.shape
+    fwd_pixel = np.full((h, w), -1, np.int64)
+    fwd_z = np.zeros((h, w))
+    bwd_pixel = np.full((h, w), -1, np.int64)
+    bwd_z = np.zeros((h, w))
+    occ = np.full((h, w), 0.5)
+
+    # Column-major traversal with linear id i = x*h + y (0-based), matching
+    # the reference's (x-1)*h + (y-1).
+    for x in range(w):
+        for y in range(h):
+            i = x * h + y
+            u, v = flow[y, x, 0], flow[y, x, 1]
+            for direction in (1, -1):
+                xf = int(np.round(x + direction * u))
+                yf = int(np.round(y + direction * v))
+                pix = fwd_pixel if direction == 1 else bwd_pixel
+                zbuf = fwd_z if direction == 1 else bwd_z
+                state = 1.0 if direction == 1 else 0.0
+                if 0 <= xf < w and 0 <= yf < h:
+                    if pix[yf, xf] == -1:
+                        pix[yf, xf] = i
+                        zbuf[yf, xf] = depth[y, x]
+                    elif depth[y, x] - zbuf[yf, xf] < -0.1:
+                        # current pixel is closer: previous occupant is occluded
+                        occ_x = pix[yf, xf] // h
+                        occ_y = pix[yf, xf] % h
+                        occ[occ_y, occ_x] = state
+                        pix[yf, xf] = i
+                        zbuf[yf, xf] = depth[y, x]
+                    else:
+                        occ[y, x] = state
+                else:
+                    occ[y, x] = state
+
+    # 3x3 median filter with replicated borders handled by window clipping
+    # (flowExtensions.lua:230-237)
+    src = occ.copy()
+    out = np.empty_like(occ)
+    for y in range(h):
+        y0, y1 = max(y - 1, 0), min(y + 1, h - 1) + 1
+        for x in range(w):
+            x0, x1 = max(x - 1, 0), min(x + 1, w - 1) + 1
+            out[y, x] = _median_lower(src[y0:y1, x0:x1])
+    return out
