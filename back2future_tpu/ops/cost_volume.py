@@ -1,0 +1,84 @@
+"""Multi-frame cost volume with frame-distance displacement dilation.
+
+Semantics follow the reference CostVolMulti (models/CostVolMulti.lua:49-108):
+given a reference feature map and K non-reference frames (ordered by
+increasing temporal distance), for each window displacement (qx, qy) in a
+win x win grid the displacement is dilated by the frame distance (k+1) and
+mirrored for past frames (`fwd=False`). The per-displacement cost at
+reference pixel p is the channel-summed product ref(p) * frame(p - q),
+accumulated over frames, zero outside the overlap, normalized by
+C * num_frames. Output channel index i enumerates qx (outer) then qy
+(inner) — i = qx_idx * win + qy_idx (CostVolMulti.lua:65-93).
+
+Layout: NHWC; output (B, H, W, win*win).
+
+This op is linear in each input, so plain autodiff reproduces the
+reference's hand-written backward (CostVolMulti.lua:111-181) exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _displacements(win: int, dilation: int, fwd: bool) -> np.ndarray:
+    """(win*win, 2) int array of (qy, qx) in reference channel order."""
+    n = (win - 1) // 2
+    sign = 1 if fwd else -1
+    disp = []
+    for qx in range(-n, n + 1):
+        for qy in range(-n, n + 1):
+            disp.append((sign * qy * dilation, sign * qx * dilation))
+    return np.asarray(disp, np.int32)
+
+
+def cost_volume(ref: jax.Array, frame: jax.Array, win: int, dilation: int = 1,
+                fwd: bool = True, unroll: bool = False) -> jax.Array:
+    """Single-frame cost volume (one term of `cost_volume_multi`, without the
+    final normalization)."""
+    if ref.shape != frame.shape:
+        raise ValueError(f"shape mismatch {ref.shape} vs {frame.shape}")
+    b, h, w, c = ref.shape
+    n = (win - 1) // 2
+    pad = n * dilation
+    disp = _displacements(win, dilation, fwd)
+
+    padded = jnp.pad(frame, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+
+    if unroll:
+        outs = []
+        for qy, qx in disp:
+            shifted = jax.lax.dynamic_slice(
+                padded, (0, pad - int(qy), pad - int(qx), 0), (b, h, w, c))
+            outs.append(jnp.sum(ref * shifted, axis=-1))
+        return jnp.stack(outs, axis=-1)
+
+    disp_j = jnp.asarray(disp)
+
+    def body(carry, q):
+        shifted = jax.lax.dynamic_slice(
+            padded, (0, pad - q[0], pad - q[1], 0), (b, h, w, c))
+        return carry, jnp.sum(ref * shifted, axis=-1)
+
+    _, costs = jax.lax.scan(body, None, disp_j)  # (win*win, B, H, W)
+    return jnp.moveaxis(costs, 0, -1)
+
+
+def cost_volume_multi(ref: jax.Array, frames: Sequence[jax.Array], win: int,
+                      fwd: bool = True, unroll: bool = False) -> jax.Array:
+    """Multi-frame cost volume w.r.t. `ref`.
+
+    `frames[k]` is the frame at temporal distance k+1 from the reference
+    (future if fwd, past otherwise); its displacements are dilated by k+1
+    and mirrored for past frames (CostVolMulti.lua:62-74).
+    """
+    c = ref.shape[-1]
+    acc = None
+    for k, frame in enumerate(frames):
+        cv = cost_volume(ref, frame, win, dilation=k + 1, fwd=fwd, unroll=unroll)
+        acc = cv if acc is None else acc + cv
+    return acc / (c * len(frames))

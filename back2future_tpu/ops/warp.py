@@ -1,0 +1,146 @@
+"""Differentiable bilinear warping with pixel-offset flow semantics.
+
+Semantics follow the reference's *modified* CUDA sampler
+(extras/stnbhwd/BilinearSamplerBHWD.cu:6-20,41-115): the flow value is a
+pixel-space offset added to the output pixel coordinate; the resulting
+source coordinate is clamped to the image border (edge behavior), and the
+four bilinear corners contribute zero when they fall outside the image
+(which can only happen for the +1 corners, whose weight is then exactly 0 —
+so the forward is equivalent to clipped-index gathering).
+
+The backward pass is where the reference deviates from autodiff: the flow
+gradient is the bilinear finite-difference formula evaluated at the
+*clamped* coordinate (BilinearSamplerBHWD.cu:287-295), i.e. it does NOT go
+to zero where the coordinate clamps at the border (autodiff through clip
+would). `reference_grads=True` (default) replicates that via a custom VJP;
+with False you get plain autodiff through the clamp.
+
+Layout: NHWC images (B, H, W, C); flow (B, H, W, 2) with channels (u, v) =
+(x-offset, y-offset) — the reference grid's (x, y) inner order
+(BilinearSamplerBHWD.cu:69-70).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _corners(flow, h, w):
+    """Clamped source coords + interpolation weights + corner in-bounds."""
+    b = flow.shape[0]
+    gy = jnp.arange(h, dtype=flow.dtype)[None, :, None]
+    gx = jnp.arange(w, dtype=flow.dtype)[None, None, :]
+    xc = jnp.clip(flow[..., 0] + gx, 0.0, w - 1.0)
+    yc = jnp.clip(flow[..., 1] + gy, 0.0, h - 1.0)
+    x0 = jnp.floor(xc)
+    y0 = jnp.floor(yc)
+    wx = 1.0 - (xc - x0)  # weight of the left column
+    wy = 1.0 - (yc - y0)  # weight of the top row
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    # only the +1 corners can be out of bounds after clamping
+    x1_in = x0i + 1 <= w - 1
+    y1_in = y0i + 1 <= h - 1
+    return x0i, y0i, wx, wy, x1_in, y1_in
+
+
+def _gather(images, yi, xi):
+    """images (B,H,W,C), yi/xi (B,H,W) int32 -> (B,H,W,C)."""
+    b = images.shape[0]
+    bi = jnp.arange(b, dtype=jnp.int32)[:, None, None]
+    return images[bi, yi, xi]
+
+
+def _warp_forward(images, flow):
+    h, w = images.shape[1], images.shape[2]
+    x0, y0, wx, wy, x1_in, y1_in = _corners(flow, h, w)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    tl = _gather(images, y0, x0)
+    tr = _gather(images, y0, x1)
+    bl = _gather(images, y1, x0)
+    br = _gather(images, y1, x1)
+    wx_ = wx[..., None]
+    wy_ = wy[..., None]
+    # clipped +1 corners have weight exactly 0, so no masking needed here
+    return (wx_ * wy_ * tl + (1 - wx_) * wy_ * tr
+            + wx_ * (1 - wy_) * bl + (1 - wx_) * (1 - wy_) * br)
+
+
+@jax.custom_vjp
+def _warp_reference_grads(images, flow):
+    return _warp_forward(images, flow)
+
+
+def _warp_fwd(images, flow):
+    return _warp_forward(images, flow), (images, flow)
+
+
+def _warp_bwd(res, g):
+    images, flow = res
+    h, w = images.shape[1], images.shape[2]
+    x0, y0, wx, wy, x1_in, y1_in = _corners(flow, h, w)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+
+    # image gradient: exact transpose of the (differentiable) forward gather
+    _, im_vjp = jax.vjp(lambda im: _warp_forward(im, flow), images)
+    (d_images,) = im_vjp(g)
+
+    # flow gradient: reference formula (BilinearSamplerBHWD.cu:232-295) —
+    # per-corner dot products with gradOutput, out-of-bounds corners -> 0,
+    # NO zeroing at clamped borders.
+    def dot(yi, xi, in_mask):
+        vals = _gather(images, yi, xi)
+        d = jnp.sum(vals * g, axis=-1)
+        return jnp.where(in_mask, d, 0.0)
+
+    tl = dot(y0, x0, jnp.ones_like(x1_in))
+    tr = dot(y0, x1, x1_in)
+    bl = dot(y1, x0, y1_in)
+    br = dot(y1, x1, x1_in & y1_in)
+
+    dfx = -wy * tl + wy * tr - (1 - wy) * bl + (1 - wy) * br
+    dfy = -wx * tl + wx * bl - (1 - wx) * tr + (1 - wx) * br
+    d_flow = jnp.stack([dfx, dfy], axis=-1).astype(flow.dtype)
+    return d_images, d_flow
+
+
+_warp_reference_grads.defvjp(_warp_fwd, _warp_bwd)
+
+
+def _warp_autodiff(images, flow):
+    """Plain autodiff variant (clamp zeroes border flow gradients)."""
+    h, w = images.shape[1], images.shape[2]
+    gy = jnp.arange(h, dtype=flow.dtype)[None, :, None]
+    gx = jnp.arange(w, dtype=flow.dtype)[None, None, :]
+    xc = jnp.clip(flow[..., 0] + gx, 0.0, w - 1.0)
+    yc = jnp.clip(flow[..., 1] + gy, 0.0, h - 1.0)
+    x0 = jnp.floor(jax.lax.stop_gradient(xc))
+    y0 = jnp.floor(jax.lax.stop_gradient(yc))
+    wx = (1.0 - (xc - x0))[..., None]
+    wy = (1.0 - (yc - y0))[..., None]
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1 = jnp.minimum(x0i + 1, w - 1)
+    y1 = jnp.minimum(y0i + 1, h - 1)
+    tl = _gather(images, y0i, x0i)
+    tr = _gather(images, y0i, x1)
+    bl = _gather(images, y1, x0i)
+    br = _gather(images, y1, x1)
+    return wx * wy * tl + (1 - wx) * wy * tr + wx * (1 - wy) * bl + (1 - wx) * (1 - wy) * br
+
+
+def warp_bilinear(images: jax.Array, flow: jax.Array, *,
+                  reference_grads: bool = True) -> jax.Array:
+    """Warp `images` by pixel-offset `flow` (NHWC; see module docstring)."""
+    if images.ndim != 4 or flow.ndim != 4 or flow.shape[-1] != 2:
+        raise ValueError(f"expected NHWC images and (B,H,W,2) flow, got "
+                         f"{images.shape} / {flow.shape}")
+    flow = flow.astype(images.dtype)
+    if reference_grads:
+        return _warp_reference_grads(images, flow)
+    return _warp_autodiff(images, flow)
