@@ -81,6 +81,7 @@ def _warp_fwd(images, flow):
 
 def _warp_bwd(res, g):
     images, flow = res
+    g = g.astype(images.dtype)
     h, w = images.shape[1], images.shape[2]
     x0, y0, wx, wy, x1_in, y1_in = _corners(flow, h, w)
     x1 = jnp.minimum(x0 + 1, w - 1)

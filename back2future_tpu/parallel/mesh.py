@@ -1,0 +1,68 @@
+"""Mesh construction and sharding placement.
+
+The reference's only model-execution parallelism is single-process
+multi-GPU data parallelism with synchronous gradient averaging
+(nn.DataParallelTable + syncParameters, util.lua:27-48, train.lua:493-496).
+The TPU-native equivalent: batch sharded over a `data` mesh axis, params
+replicated, XLA inserting the gradient all-reduce over ICI when the jitted
+train step consumes sharded inputs. An optional `spatial` axis shards the
+image height dimension; XLA's SPMD partitioner inserts halo exchanges for
+the convolutions automatically.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(devices: Optional[Sequence] = None,
+              shape: Sequence[int] = (),
+              axes: Sequence[str] = ("data",)) -> Mesh:
+    """Build a Mesh; default: all devices on one 'data' axis."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices)
+    if not shape:
+        shape = (len(devices),)
+        axes = tuple(axes[:1]) or ("data",)
+    return Mesh(devices.reshape(tuple(shape)), tuple(axes))
+
+
+def batch_sharding(mesh: Mesh, spatial: bool = False) -> NamedSharding:
+    """NHWC batch arrays: shard batch dim over 'data' (and H over 'spatial'
+    when the mesh has that axis)."""
+    if spatial and "spatial" in mesh.axis_names:
+        return NamedSharding(mesh, P("data", "spatial", None, None))
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh, spatial: bool = False):
+    """Place a pytree of host arrays onto the mesh, batch-sharded."""
+    sh = batch_sharding(mesh, spatial)
+
+    def put(x):
+        if x is None:
+            return None
+        if getattr(x, "ndim", 0) == 0:
+            return jax.device_put(x, replicated_sharding(mesh))
+        spec = [None] * x.ndim
+        spec[0] = "data"
+        if spatial and "spatial" in mesh.axis_names and x.ndim >= 2:
+            spec[1] = "spatial"
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (params/opt state) across the mesh."""
+    sh = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

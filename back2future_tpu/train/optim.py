@@ -1,0 +1,46 @@
+"""Optimizer and learning-rate regimes (train.lua:27-121; opts.lua:75-79).
+
+Default recipe: Adam, LR 1e-4 halved at epochs 201/401/601/801 (5 regimes
+to epoch 1000). Reference quirk replicated behind a flag: `paramsForEpoch`
+returns newRegime=True for EVERY epoch (`epoch >= row[1]`, train.lua:89),
+so the reference rebuilds optimState — resetting Adam moments — at every
+epoch boundary. `adam_reset_per_epoch=True` (default) reproduces that;
+set False for the (almost certainly intended) persistent-moment behavior.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import optax
+
+
+def lr_for_epoch(epoch: int, base_lr: float = 0.0) -> float:
+    """LR for a 1-indexed epoch (train.lua:66-92)."""
+    lr = base_lr if base_lr > 0 else 1e-4
+    for i, (start, end) in enumerate([(1, 200), (201, 400), (401, 600),
+                                      (601, 800), (801, 1000)]):
+        if start <= epoch <= end:
+            return lr / (2 ** i)
+    return lr / 16  # beyond epoch 1000: keep the final regime
+
+
+def make_optimizer(opt, epoch: int) -> optax.GradientTransformation:
+    """Build the optimizer for one epoch's regime."""
+    lr = lr_for_epoch(epoch, opt.LR)
+    wd = opt.weightDecay
+    if opt.optimizer == "adam":
+        # torch optim.adam defaults: beta1=0.9, beta2=0.999, eps=1e-8;
+        # weightDecay added to the raw gradient (L2, not decoupled)
+        tx = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
+        if wd > 0:
+            tx = optax.chain(optax.add_decayed_weights(wd), tx)
+        return tx
+    if opt.optimizer == "sgd":
+        # torch optim.sgd: momentum with dampening=0, weightDecay on raw grad
+        chain = []
+        if wd > 0:
+            chain.append(optax.add_decayed_weights(wd))
+        chain.append(optax.sgd(lr, momentum=opt.momentum))
+        return optax.chain(*chain)
+    raise ValueError(f"unknown optimizer {opt.optimizer!r}")

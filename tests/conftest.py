@@ -7,9 +7,16 @@ happens in bench.py, not in the test suite.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force override: the shell environment may pin JAX_PLATFORMS to a real
+# accelerator (e.g. a tunneled TPU); unit tests must be hermetic on CPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# Persistent compilation cache: repeat test runs skip recompilation.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/b2f-jax-cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")

