@@ -1,0 +1,191 @@
+"""Batch assembly and threaded host prefetch.
+
+Replaces the reference's donkey thread pool (data.lua:22-51) and
+dataLoader container (dataset.lua:19-157):
+
+  * `FlowDataset` — indexable dataset over manifest specs with
+    `sample(q)` (uniform random with replacement, dataset.lua:123-138)
+    and `get(i1, i2)` (sequential, dataset.lua:140-155) batch methods.
+  * `PrefetchLoader` — a pool of `n_workers` host threads, each with an
+    independent `np.random.Generator` seeded `manual_seed + idx`
+    (data.lua:32-37), keeping a bounded queue of ready batches ahead of
+    the training loop; `n_workers=0` is the synchronous debug mode
+    (data.lua:39-44).
+  * `device_prefetch` — overlaps host->device transfer with compute by
+    keeping `depth` batches in flight on the mesh.
+
+Batches are dicts of stacked NHWC arrays: images (B,H,W,3F),
+flow_gt (B,H,W,2), occ_gt (B,H,W,2), mask (B,H,W).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from .manifest import SampleSpec
+from .sample import SampleConfig, default_image_loader, test_sample, train_sample
+
+
+def collate(samples: Sequence) -> Dict[str, np.ndarray]:
+    """Stack (images, target, mask) triples into batch arrays
+    (dataset.lua:102-120)."""
+    images = np.stack([s[0] for s in samples])
+    target = np.stack([s[1] for s in samples])
+    mask = np.stack([s[2] for s in samples])
+    return {"images": images,
+            "flow_gt": target[..., 0:2],
+            "occ_gt": target[..., 2:4],
+            "mask": mask}
+
+
+class FlowDataset:
+    """Indexable dataset over manifest sample specs."""
+
+    def __init__(self, specs: Sequence[SampleSpec], cfg: SampleConfig,
+                 indices: Optional[np.ndarray] = None, train: bool = True,
+                 image_loader: Callable = default_image_loader):
+        self.specs = list(specs)
+        self.cfg = cfg
+        self.train = train
+        self.image_loader = image_loader
+        self.indices = (np.asarray(indices, np.int64) if indices is not None
+                        else np.arange(len(self.specs)))
+        if len(self.indices) == 0:
+            raise ValueError("dataset has no samples")
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def load(self, i: int, rng: Optional[np.random.Generator] = None):
+        spec = self.specs[int(self.indices[i])]
+        if self.train:
+            rng = rng or np.random.default_rng()
+            return train_sample(spec, self.cfg, rng, self.image_loader)
+        return test_sample(spec, self.cfg, self.image_loader)
+
+    def sample(self, q: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
+        """q uniform-random samples with replacement (dataset.lua:123-138)."""
+        ids = rng.integers(0, len(self), size=q)
+        return collate([self.load(int(i), rng) for i in ids])
+
+    def get(self, i1: int, i2: int) -> Dict[str, np.ndarray]:
+        """Sequential inclusive-exclusive range [i1, i2) (dataset.lua:140-155)."""
+        return collate([self.load(i) for i in range(i1, min(i2, len(self)))])
+
+
+class PrefetchLoader:
+    """Threaded batch prefetcher (the donkey pool, data.lua:22-51)."""
+
+    def __init__(self, dataset: FlowDataset, batch_size: int,
+                 n_batches: int, n_workers: int = 8, manual_seed: int = 2,
+                 sequential: bool = False, queue_depth: int = 4):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.n_batches = n_batches
+        self.n_workers = n_workers
+        self.manual_seed = manual_seed
+        self.sequential = sequential
+        self.queue_depth = queue_depth
+
+    def __len__(self) -> int:
+        return self.n_batches
+
+    def _jobs(self) -> List:
+        if self.sequential:
+            return [("get", i * self.batch_size, (i + 1) * self.batch_size)
+                    for i in range(self.n_batches)]
+        return [("sample",)] * self.n_batches
+
+    def _run_job(self, job, rng) -> Dict[str, np.ndarray]:
+        if job[0] == "get":
+            return self.dataset.get(job[1], job[2])
+        return self.dataset.sample(self.batch_size, rng)
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        jobs = self._jobs()
+        if self.n_workers == 0:  # synchronous debug mode (data.lua:39-44)
+            rng = np.random.default_rng(self.manual_seed)
+            for job in jobs:
+                yield self._run_job(job, rng)
+            return
+
+        job_q: queue.Queue = queue.Queue()
+        # slot-ordered output: batches are delivered in job order even if
+        # workers finish out of order, for deterministic epoch replays
+        out_q: queue.Queue = queue.Queue(maxsize=max(self.queue_depth, 1))
+        results: Dict[int, Dict[str, np.ndarray]] = {}
+        results_lock = threading.Lock()
+        next_slot = [0]
+        slot_ready = threading.Condition(results_lock)
+        errors: List[BaseException] = []
+
+        for i, job in enumerate(jobs):
+            job_q.put((i, job))
+
+        def worker(widx: int):
+            rng = np.random.default_rng(self.manual_seed + widx + 1)
+            while True:
+                try:
+                    slot, job = job_q.get_nowait()
+                except queue.Empty:
+                    return
+                try:
+                    batch = self._run_job(job, rng)
+                except BaseException as e:  # surfaced to the consumer
+                    with slot_ready:
+                        errors.append(e)
+                        slot_ready.notify_all()
+                    return
+                with slot_ready:
+                    # bounded prefetch: don't run more than queue_depth
+                    # batches ahead of the consumer
+                    while (slot - next_slot[0] >= self.queue_depth
+                           and not errors):
+                        slot_ready.wait(timeout=0.5)
+                    results[slot] = batch
+                    slot_ready.notify_all()
+
+        threads = [threading.Thread(target=worker, args=(w,), daemon=True)
+                   for w in range(self.n_workers)]
+        for t in threads:
+            t.start()
+
+        for slot in range(len(jobs)):
+            with slot_ready:
+                while slot not in results and not errors:
+                    slot_ready.wait(timeout=0.5)
+                if errors:
+                    raise errors[0]
+                batch = results.pop(slot)
+                next_slot[0] = slot + 1
+                slot_ready.notify_all()
+            yield batch
+        for t in threads:
+            t.join(timeout=5)
+
+
+def device_prefetch(host_batches: Iterator[Dict[str, np.ndarray]],
+                    mesh=None, spatial: bool = False, depth: int = 2):
+    """Keep `depth` batches in flight on the device/mesh ahead of the
+    consumer (the H2D side of the donkey pipeline, train.lua:206-208)."""
+    import collections
+
+    from ..parallel.mesh import shard_batch
+
+    def put(b):
+        if mesh is None:
+            import jax
+            return jax.tree_util.tree_map(jax.device_put, b)
+        return shard_batch(b, mesh, spatial)
+
+    buf = collections.deque()
+    for hb in host_batches:
+        buf.append(put(hb))
+        if len(buf) > depth:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

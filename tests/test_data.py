@@ -1,0 +1,298 @@
+"""Data pipeline tests: manifests, hooks, augmentation, prefetch loader."""
+
+import numpy as np
+import pytest
+
+from back2future_tpu.data import (
+    FlowDataset, PrefetchLoader, SampleConfig, SampleSpec, collate,
+    load_manifest, load_split, make_data, train_sample, write_manifest,
+)
+from back2future_tpu.data import test_sample as eval_sample
+from back2future_tpu.data.augment import (
+    GeometricParams, augment_sample, color_normalize, gaussian_noise,
+    pca_lighting, rotation_flow_field, rotate_flow_vectors, translate,
+    IMAGENET_MEAN, IMAGENET_STD,
+)
+from back2future_tpu.io.flow_io import write_flo, write_disp
+from back2future_tpu.io.png16 import write_png
+
+
+# ------------------------------------------------------------------ manifests
+
+class TestManifest:
+    def test_parse_no_gt(self, tmp_path):
+        p = tmp_path / "d.dat"
+        p.write_text("[PATH]/img_%02d.png 2\n[PATH]/b_%02d.png 5 2\n\n")
+        specs = load_manifest(p, ground_truth=False, root="/data")
+        assert len(specs) == 2
+        assert specs[0].image_pattern == "/data/img_%02d.png"
+        assert specs[0].ref == 2 and specs[0].skip == 1
+        assert specs[1].skip == 2
+
+    def test_parse_gt(self, tmp_path):
+        p = tmp_path / "d.dat"
+        p.write_text("i_%02d.png f_%02d.flo 3 1\n")
+        (spec,) = load_manifest(p, ground_truth=True)
+        assert spec.flow_pattern == "f_%02d.flo"
+        assert spec.ref == 3
+
+    def test_frame_window(self):
+        s = SampleSpec("i_%d.png", None, ref=5, skip=2)
+        # frames=3: start = 5 - 1*2 = 3 -> [3, 5, 7]
+        assert s.frame_indices(3) == [3, 5, 7]
+        assert s.frame_indices(5) == [1, 3, 5, 7, 9]
+        # 2-frame windows start at ref (donkey.lua:205-207)
+        assert s.frame_indices(2) == [5, 7]
+
+    def test_occ_paths(self):
+        s = SampleSpec("i_%d.png", "f_%02d.flo", ref=3, skip=1)
+        occ_n, occ_3 = s.occ_paths(5)
+        assert occ_n == "f_03_occ_5.disp"
+        assert occ_3 == "f_03_occ_3.disp"
+        # 2-frame: both use the 3-frame map (donkey.lua:226-229)
+        occ_n, _ = s.occ_paths(2)
+        assert occ_n == "f_03_occ_3.disp"
+
+    def test_split(self, tmp_path):
+        p = tmp_path / "s.dat"
+        p.write_text("1\n2\n1\n1\n2\n")
+        tr, va = load_split(p)
+        assert tr.tolist() == [0, 2, 3]
+        assert va.tolist() == [1, 4]
+
+    def test_roundtrip_gt(self, tmp_path):
+        specs = [SampleSpec("a_%d.png", "f_%d.flo", 2, 1),
+                 SampleSpec("b_%d.png", "g_%d.flo", 4, 2)]
+        p = tmp_path / "m.dat"
+        write_manifest(p, specs)
+        assert load_manifest(p, ground_truth=True) == specs
+
+    def test_roundtrip_no_gt(self, tmp_path):
+        specs = [SampleSpec("a_%d.png", None, 2, 1),
+                 SampleSpec("b_%d.png", None, 4, 2)]
+        p = tmp_path / "m.dat"
+        write_manifest(p, specs)
+        assert load_manifest(p, ground_truth=False) == specs
+
+
+# ------------------------------------------------------------------ photometric
+
+class TestPhotometric:
+    def test_color_normalize_groups(self):
+        img = np.ones((4, 4, 6), np.float32) * 0.5
+        out = color_normalize(img)
+        expect = (0.5 - IMAGENET_MEAN) / IMAGENET_STD
+        np.testing.assert_allclose(out[0, 0, :3], expect, rtol=1e-6)
+        np.testing.assert_allclose(out[0, 0, 3:], expect, rtol=1e-6)
+
+    def test_lighting_identity_at_zero(self):
+        rng = np.random.default_rng(0)
+        img = rng.random((4, 4, 9)).astype(np.float32)
+        np.testing.assert_array_equal(pca_lighting(img, rng, 0.0), img)
+
+    def test_lighting_same_shift_per_group(self):
+        rng = np.random.default_rng(0)
+        img = np.zeros((2, 2, 6), np.float32)
+        out = pca_lighting(img, rng, 0.1)
+        np.testing.assert_allclose(out[..., :3], out[..., 3:], rtol=1e-6)
+
+    def test_gaussian_noise_gate(self):
+        rng = np.random.default_rng(0)
+        img = np.concatenate([np.zeros((8, 8, 1), np.float32),
+                              np.ones((8, 8, 1), np.float32) * 0.5,
+                              np.ones((8, 8, 1), np.float32)], axis=-1)
+        out = gaussian_noise(img, rng, 2.0)
+        # out-of-range pixels are zeroed, not clipped (donkey.lua:259-266)
+        assert ((out >= 0) & (out <= 1)).all()
+        assert (out == 0).any()
+
+
+# ------------------------------------------------------------------ geometric
+
+def _id_params(**kw):
+    base = dict(hflip=False, vflip=False, tx=0.0, ty=0.0, r1=0.0, r2=0.0,
+                scale=1.0, crop_y=0, crop_x=0)
+    base.update(kw)
+    return GeometricParams(**base)
+
+
+class TestGeometric:
+    def test_translate(self):
+        img = np.zeros((4, 4, 1), np.float32)
+        img[1, 1, 0] = 1.0
+        out = translate(img, 1, 2)
+        assert out[3, 2, 0] == 1.0 and out.sum() == 1.0
+
+    def test_rotation_flow_field_center_zero(self):
+        f = rotation_flow_field(8, 8, 0.1)
+        # u depends only on row, v only on column; antisymmetric about center
+        assert np.allclose(f[:, 0, 0], f[:, -1, 0])
+        assert np.allclose(f[0, :, 1], f[-1, :, 1])
+        # 1-based center: rows 3/4 (0-based) bracket H/2=4
+        assert f[3, 0, 0] == 0.0  # (3+1 - 4)*r2 = 0
+
+    def test_vector_rotation_inverse(self):
+        rng = np.random.default_rng(0)
+        flow = rng.standard_normal((5, 5, 2)).astype(np.float32)
+        back = rotate_flow_vectors(rotate_flow_vectors(flow, 0.3), -0.3)
+        np.testing.assert_allclose(back, flow, atol=1e-6)
+
+    def test_hflip_negates_u(self):
+        rng = np.random.default_rng(1)
+        frames = [rng.random((8, 10, 3)).astype(np.float32) for _ in range(3)]
+        flow = rng.standard_normal((8, 10, 2)).astype(np.float32)
+        occ = rng.random((8, 10, 2)).astype(np.float32)
+        mask = np.ones((8, 10), np.float32)
+        img, fl, oc, mk = augment_sample(
+            frames, flow, occ, mask, _id_params(hflip=True), ref0=1)
+        np.testing.assert_allclose(fl[..., 0], -flow[:, ::-1, 0], atol=1e-6)
+        np.testing.assert_allclose(fl[..., 1], flow[:, ::-1, 1], atol=1e-6)
+        np.testing.assert_allclose(img[..., 3:6], frames[1][:, ::-1], atol=1e-6)
+
+    def test_vflip_negates_v(self):
+        rng = np.random.default_rng(1)
+        frames = [rng.random((8, 10, 3)).astype(np.float32) for _ in range(3)]
+        flow = rng.standard_normal((8, 10, 2)).astype(np.float32)
+        occ = rng.random((8, 10, 2)).astype(np.float32)
+        mask = np.ones((8, 10), np.float32)
+        _, fl, _, _ = augment_sample(
+            frames, flow, occ, mask, _id_params(vflip=True), ref0=1)
+        np.testing.assert_allclose(fl[..., 1], -flow[::-1, :, 1], atol=1e-6)
+
+    def test_translation_adds_to_flow(self):
+        frames = [np.zeros((8, 10, 3), np.float32) for _ in range(3)]
+        flow = np.zeros((8, 10, 2), np.float32)
+        occ = np.full((8, 10, 2), 0.5, np.float32)
+        mask = np.ones((8, 10), np.float32)
+        _, fl, _, _ = augment_sample(
+            frames, flow, occ, mask, _id_params(tx=3.0, ty=2.0), ref0=1)
+        np.testing.assert_allclose(fl[..., 0], 3.0)
+        np.testing.assert_allclose(fl[..., 1], 2.0)
+
+    def test_scale_scales_flow_magnitude(self):
+        frames = [np.zeros((8, 10, 3), np.float32) for _ in range(3)]
+        flow = np.ones((8, 10, 2), np.float32)
+        occ = np.full((8, 10, 2), 0.5, np.float32)
+        mask = np.ones((8, 10), np.float32)
+        img, fl, oc, mk = augment_sample(
+            frames, flow, occ, mask, _id_params(scale=2.0), ref0=1)
+        assert img.shape == (16, 20, 9)
+        np.testing.assert_allclose(fl, 2.0, atol=1e-5)
+        assert oc.shape == (16, 20, 2)
+
+
+# ------------------------------------------------------------------ hooks + loader
+
+@pytest.fixture
+def toy_dataset(tmp_path):
+    """5-frame synthetic sequence with .flo/.disp gt for ref frame 3."""
+    rng = np.random.default_rng(0)
+    h, w = 40, 56
+    for i in range(1, 6):
+        img = (rng.random((h, w, 3)) * 255).astype(np.uint8)
+        write_png(tmp_path / f"img_{i:02d}.png", img)
+    flow = rng.standard_normal((h, w, 2)).astype(np.float32) * 3
+    write_flo(tmp_path / "flow_03.flo", flow)
+    write_disp(tmp_path / "flow_03_occ_3.disp",
+               np.full((h, w), 0.5, np.float32))
+    spec = SampleSpec(str(tmp_path / "img_%02d.png"),
+                      str(tmp_path / "flow_%02d.flo"), ref=3, skip=1)
+    return spec, flow, (h, w)
+
+
+class TestHooks:
+    def test_test_sample_gt(self, toy_dataset):
+        spec, flow, (h, w) = toy_dataset
+        cfg = SampleConfig(frames=3, ground_truth=True, fine_height=32,
+                           fine_width=48, load_height=32, load_width=48,
+                           rand_crop=0)
+        images, target, mask = eval_sample(spec, cfg)
+        assert images.shape == (32, 48, 9)
+        assert target.shape == (32, 48, 4)
+        assert mask.shape == (32, 48)
+        # center crop of flow / flownet_factor
+        y0, x0 = (h - 32) // 2, (w - 48) // 2
+        np.testing.assert_allclose(
+            target[..., :2], flow[y0:y0 + 32, x0:x0 + 48] / 20.0, atol=1e-5)
+        # occ channel 0: no 3-frame-specific _occ file -> 0.5 fill via _occ_3
+        np.testing.assert_allclose(target[..., 2], 0.5)
+
+    def test_train_sample_no_augment(self, toy_dataset):
+        spec, _, _ = toy_dataset
+        cfg = SampleConfig(frames=3, ground_truth=False, fine_height=32,
+                           fine_width=48, load_height=32, load_width=48)
+        rng = np.random.default_rng(3)
+        images, target, mask = train_sample(spec, cfg, rng)
+        assert images.shape == (32, 48, 9)
+        # no gt: zero flow, 0.5 occ
+        np.testing.assert_allclose(target[..., :2], 0.0)
+        np.testing.assert_allclose(target[..., 2:], 0.5)
+        np.testing.assert_allclose(mask, 1.0)
+
+    def test_train_sample_augmented(self, toy_dataset):
+        spec, _, _ = toy_dataset
+        cfg = SampleConfig(frames=3, ground_truth=True, augment=1,
+                           fine_height=24, fine_width=32,
+                           load_height=32, load_width=48)
+        rng = np.random.default_rng(3)
+        images, target, mask = train_sample(spec, cfg, rng)
+        assert images.shape == (24, 32, 9)
+        assert np.isfinite(images).all() and np.isfinite(target).all()
+
+    def test_determinism_per_seed(self, toy_dataset):
+        spec, _, _ = toy_dataset
+        cfg = SampleConfig(frames=3, augment=1, fine_height=24, fine_width=32,
+                           load_height=32, load_width=48)
+        a = train_sample(spec, cfg, np.random.default_rng(7))
+        b = train_sample(spec, cfg, np.random.default_rng(7))
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+
+
+class TestLoader:
+    def _dataset(self, toy, n=6, train=True):
+        spec, _, _ = toy
+        cfg = SampleConfig(frames=3, fine_height=24, fine_width=32,
+                           load_height=32, load_width=48)
+        return FlowDataset([spec] * n, cfg, train=train)
+
+    def test_collate_shapes(self, toy_dataset):
+        ds = self._dataset(toy_dataset)
+        batch = ds.sample(4, np.random.default_rng(0))
+        assert batch["images"].shape == (4, 24, 32, 9)
+        assert batch["flow_gt"].shape == (4, 24, 32, 2)
+        assert batch["occ_gt"].shape == (4, 24, 32, 2)
+        assert batch["mask"].shape == (4, 24, 32)
+
+    def test_get_range(self, toy_dataset):
+        ds = self._dataset(toy_dataset, train=False)
+        batch = ds.get(0, 3)
+        assert batch["images"].shape[0] == 3
+
+    def test_prefetch_matches_sync_count(self, toy_dataset):
+        ds = self._dataset(toy_dataset)
+        loader = PrefetchLoader(ds, batch_size=2, n_batches=5, n_workers=3,
+                                manual_seed=2)
+        batches = list(loader)
+        assert len(batches) == 5
+        assert all(b["images"].shape == (2, 24, 32, 9) for b in batches)
+
+    def test_sequential_prefetch_order(self, toy_dataset):
+        ds = self._dataset(toy_dataset, train=False)
+        loader = PrefetchLoader(ds, batch_size=2, n_batches=3, n_workers=2,
+                                sequential=True)
+        sync = PrefetchLoader(ds, batch_size=2, n_batches=3, n_workers=0,
+                              sequential=True)
+        for a, b in zip(loader, sync):
+            np.testing.assert_array_equal(a["images"], b["images"])
+
+    def test_worker_error_propagates(self, toy_dataset):
+        ds = self._dataset(toy_dataset)
+
+        def boom(path):
+            raise RuntimeError("decode failed")
+
+        ds.image_loader = boom
+        loader = PrefetchLoader(ds, batch_size=2, n_batches=2, n_workers=2)
+        with pytest.raises(RuntimeError, match="decode failed"):
+            list(loader)
