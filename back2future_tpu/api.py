@@ -1,0 +1,146 @@
+"""Library inference API: `init(model) -> compute_flow(im1, im2, im3)`.
+
+Mirrors the reference's library mode (back2future.lua:47-130):
+
+  * images are stacked channel-wise and ImageNet-normalized,
+  * W and H are rounded DOWN to a multiple of 64 (7 pyramid levels) and
+    the stack bilinearly resized to that grid,
+  * one jitted forward produces the finest-level flow and occlusion,
+  * flow is nearest-resized back to the input size with u scaled by
+    W/W64 and v by H/H64,
+  * occlusions are thresholded at 0.6666 on the 2-channel softmax —
+    channel 1 (index 0) past/backward, channel 2 (index 1)
+    future/forward — then nearest-resized.
+
+Units note (parity): the returned flow is in raw network units, exactly
+like the reference — multiply by `flownet_factor` (20) for pixels.
+
+Model resolution: `init()` accepts a checkpoint directory/file produced by
+`back2future_tpu.train.checkpoint`, or a (params, config) pair, or `None`
+for random weights (smoke tests). The reference's named pretrained models
+(Ours-Hard / Ours-Soft-ft-KITTI / Ours-Soft-ft-Sintel) map to converted
+checkpoints under `models/` when present.
+"""
+
+from __future__ import annotations
+
+import functools
+from pathlib import Path
+from typing import Callable, Optional, Tuple
+
+import numpy as np
+
+from .data.augment import color_normalize
+from .data.resample import resize
+
+OCC_THRESHOLD = 0.6666  # back2future.lua:40
+
+# Reference pretrained-name -> converted checkpoint path (back2future.lua:100-110)
+PRETRAINED_PATHS = {
+    "Ours-Hard": "models/RoamingImages_H",
+    "Ours-Soft-ft-KITTI": "models/RoamingImages_H_KITTI_S",
+    "Ours-Soft-ft-Sintel": "models/RoamingImages_H_Sintel_S",
+}
+
+
+def _round_down_64(x: int) -> int:
+    return max(x - (x % 64), 64)
+
+
+class FlowEstimator:
+    """Stateful wrapper owning the params and per-shape jit cache."""
+
+    def __init__(self, params, config, dtype: str = "bfloat16"):
+        import jax
+
+        from .models.pwc import PWCNet
+
+        self.config = config
+        self.model = PWCNet(config)
+        self.params = params
+        self._jit = jax.jit(
+            lambda p, x: self._finest(self.model.apply({"params": p}, x)))
+
+    @staticmethod
+    def _finest(outputs):
+        g = outputs[0]
+        return g["flow"], g["occ"]
+
+    def __call__(self, im1: np.ndarray, im2: np.ndarray, im3: np.ndarray
+                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """compute_flow (back2future.lua:47-95). Images: (H, W, 3) in [0,1].
+
+        Returns (flow (H,W,2) float32 raw network units,
+                 fwd_occ (H,W) bool, bwd_occ (H,W) bool).
+        """
+        import jax.numpy as jnp
+
+        imgs = np.concatenate([np.asarray(im, np.float32) for im in
+                               (im1, im2, im3)], axis=-1)
+        if imgs.shape[-1] != 3 * self.config.frames:
+            raise ValueError(
+                f"model expects {self.config.frames} frames "
+                f"({3 * self.config.frames} channels), got {imgs.shape[-1]}")
+        imgs = color_normalize(imgs)
+
+        height, width = imgs.shape[:2]
+        fine_h, fine_w = _round_down_64(height), _round_down_64(width)
+        if (fine_h, fine_w) != (height, width):
+            imgs = resize(imgs, fine_h, fine_w, "bilinear")
+
+        flow, occ = self._jit(self.params, jnp.asarray(imgs)[None])
+        flow = np.asarray(flow[0], np.float32)
+        occ = np.asarray(occ[0], np.float32)
+
+        # resize flow back, scaling components by the resize ratio
+        sc_h = height / flow.shape[0]
+        sc_w = width / flow.shape[1]
+        flow = resize(flow, height, width, "simple")
+        flow[..., 0] *= sc_w
+        flow[..., 1] *= sc_h
+
+        fwd_occ = resize((occ[..., 1] >= OCC_THRESHOLD).astype(np.float32),
+                         height, width, "simple") > 0.5
+        bwd_occ = resize((occ[..., 0] >= OCC_THRESHOLD).astype(np.float32),
+                         height, width, "simple") > 0.5
+        return flow, fwd_occ, bwd_occ
+
+
+def init(model: Optional[object] = "Ours-Soft-ft-KITTI",
+         dtype: str = "bfloat16") -> Callable:
+    """Load a model and return its compute_flow callable
+    (back2future.lua:97-129).
+
+    `model` may be:
+      * a reference pretrained name ("Ours-Hard", "Ours-Soft-ft-KITTI",
+        "Ours-Soft-ft-Sintel") resolving to a converted checkpoint,
+      * a checkpoint path (directory or file),
+      * a (params, PWCConfig) tuple,
+      * None -> random weights (hard 3-frame default; smoke testing).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .models.pwc import PWCConfig, PWCNet
+
+    if isinstance(model, tuple):
+        params, config = model
+        return FlowEstimator(params, config, dtype)
+
+    if model is None:
+        config = PWCConfig(dtype=jnp.bfloat16 if dtype == "bfloat16"
+                           else jnp.float32)
+        net = PWCNet(config)
+        params = net.init(jax.random.PRNGKey(0),
+                          jnp.zeros((1, 64, 128, 3 * config.frames)))["params"]
+        return FlowEstimator(params, config, dtype)
+
+    path = PRETRAINED_PATHS.get(str(model), str(model))
+    if not Path(path).exists():
+        raise FileNotFoundError(
+            f"no checkpoint at {path!r} (for reference pretrained names, "
+            f"convert the .t7 with tools/convert_t7.py first)")
+    from .train.checkpoint import load_model_checkpoint
+
+    params, config = load_model_checkpoint(path)
+    return FlowEstimator(params, config, dtype)

@@ -94,6 +94,9 @@ class Options:
     pwc_sum_cvs: bool = False
 
     # ---------- TPU-native additions (no reference analog) ----------
+    datasets_dir: str = "datasets"   # manifest directory (donkey.lua:78)
+    data_root: str = ""              # replaces [PATH] in manifests (README.md:76-80)
+    trace_dir: str = ""              # jax.profiler trace capture directory
     compute_dtype: str = "bfloat16"  # conv/matmul compute dtype on TPU
     param_dtype: str = "float32"
     mesh_shape: Tuple[int, ...] = ()   # () -> all devices on one 'data' axis

@@ -56,7 +56,7 @@ def field2rgb(norm: np.ndarray, angle: np.ndarray, max_norm: float | None = None
     """(norm, angle) -> (H, W, 3) float RGB in [0,1]
     (flowExtensions.lua:81-124)."""
     saturate = max_norm is not None
-    mx = max(max_norm if saturate else float(norm.max()), 1e-2)
+    mx = max(float(max_norm) if saturate else float(norm.max()), 1e-2)
     hsl = np.zeros(norm.shape + (3,), np.float64)
     hsl[..., 0] = angle / 360.0
     sat = norm / mx

@@ -1,0 +1,199 @@
+"""High-level epoch loop: the main.lua / train.lua / test.lua driver.
+
+`run(opt)` wires everything: model build-or-load (model.lua:38-142),
+criterions, datasets + prefetch loaders (data.lua), the per-epoch
+train/validate cycle (main.lua:35-39), per-batch console lines and TSV
+epoch logs (train.lua:510-518, :162-173), and checkpointing each
+`epochStore` epochs (train.lua:179-185).
+
+Data parallelism: batches are sharded over the mesh's `data` axis with
+replicated params; XLA inserts the gradient all-reduce over ICI
+(parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..config import Options
+from ..data import (FlowDataset, PrefetchLoader, SampleConfig, device_prefetch,
+                    load_manifest, load_split)
+from ..losses import build_criterions
+from ..models.pwc import PWCNet, pwc_config_from_options
+from ..models.spynet import SPyNet, spynet_config_from_options
+from ..parallel.mesh import make_mesh, replicate
+from ..utils import SymbolLogger, StepTimer
+from .checkpoint import load_or_convert, save_checkpoint
+from .optim import lr_for_epoch
+from .state import TrainState, create_train_state
+from .step import make_eval_step, make_train_step
+
+
+def build_model(opt: Options):
+    if opt.netType == "pwc":
+        return PWCNet(pwc_config_from_options(opt))
+    if opt.netType == "spynet":
+        return SPyNet(spynet_config_from_options(opt))
+    raise ValueError(f"unknown netType {opt.netType!r}")
+
+
+def build_loaders(opt: Options):
+    """Manifest + split -> train/val datasets and loaders (donkey.lua)."""
+    manifest = Path(opt.datasets_dir) / f"{opt.dataset}.dat"
+    split = Path(opt.datasets_dir) / f"{opt.dataset}_split.dat"
+    specs = load_manifest(manifest, opt.ground_truth,
+                          root=opt.data_root or None)
+    if split.exists():
+        train_idx, val_idx = load_split(split)
+    else:
+        train_idx, val_idx = np.arange(len(specs)), np.arange(0)
+
+    cfg = SampleConfig.from_options(opt)
+    train_ds = FlowDataset(specs, cfg, train_idx, train=True)
+    val_ds = (FlowDataset(specs, cfg, val_idx, train=False)
+              if len(val_idx) else None)
+
+    train_loader = PrefetchLoader(
+        train_ds, opt.batchSize, n_batches=opt.epochSize,
+        n_workers=opt.nDonkeys, manual_seed=opt.manualSeed)
+    n_val_batches = (len(val_ds) // opt.batchSize) if val_ds else 0
+    val_loader = (PrefetchLoader(val_ds, opt.batchSize, n_val_batches,
+                                 n_workers=opt.nDonkeys,
+                                 manual_seed=opt.manualSeed, sequential=True)
+                  if n_val_batches else None)
+    return train_loader, val_loader
+
+
+def _fmt_console(epoch, i, n, timer: StepTimer, logs: Dict, lr: float) -> str:
+    """Per-batch console line (train.lua:505-518)."""
+    parts = [f"Epoch: [{epoch}][{i}/{n}]",
+             f"Time {timer.step_time:.3f}",
+             f"ERR {float(logs.get('loss', 0)):.3f}"]
+    for key, label in (("pme", "PME"), ("sflow", "SmoothFlow"),
+                       ("socc", "SmoothOcc"), ("gocc", "PriorOcc"),
+                       ("epe", "EPE"), ("epe_nocc", "EPE non Occ"),
+                       ("epe_occ", "EPE Occ")):
+        if key in logs:
+            parts.append(f"{label} {float(logs[key]):.3f}")
+    if "occ_acc" in logs:
+        parts.append(
+            f"Occ Acc {float(logs['occ_acc']):.3f} "
+            f"({float(logs['occ_acc_bwd']):.3f},"
+            f"{float(logs['occ_acc_vis']):.3f},"
+            f"{float(logs['occ_acc_fwd']):.3f})")
+    parts.append(f"LR {lr:.0e}")
+    parts.append(f"DataLoadingTime {timer.data_time:.3f}")
+    return "\t".join(parts)
+
+
+def _epoch_means(rows) -> Dict[str, float]:
+    keys = rows[0].keys()
+    return {k: float(np.mean([float(r[k]) for r in rows if k in r]))
+            for k in keys}
+
+
+def train_epoch(epoch: int, state: TrainState, step, loader, mesh, opt,
+                logger: SymbolLogger, verbose: bool = True):
+    """One training epoch (train.lua:108-186)."""
+    import jax
+
+    state = state.with_epoch(epoch, opt)
+    lr = lr_for_epoch(epoch, opt.LR)
+    rows = []
+    timer = StepTimer()
+    t0 = time.time()
+    for i, batch in enumerate(
+            device_prefetch(iter(loader), mesh, depth=opt.prefetch_depth)):
+        timer.data_loaded()
+        state, logs = step(state, batch)
+        jax.block_until_ready(logs["loss"])
+        timer.step_done()
+        logs = {k: float(v) for k, v in logs.items()}
+        rows.append(logs)
+        if verbose:
+            print(_fmt_console(epoch, i + 1, len(loader), timer, logs, lr))
+
+    means = _epoch_means(rows)
+    summary = {"avg loss (train set)": means["loss"]}
+    if "epe" in means:
+        summary.update({
+            "avg epe (train set)": means["epe"],
+            "avg epe non occ (train set)": means["epe_nocc"],
+            "avg epe occ (train set)": means["epe_occ"]})
+    if "occ_acc" in means:
+        summary.update({
+            "avg occ acc (train set)": means["occ_acc"],
+            "avg bwd acc (train set)": means["occ_acc_bwd"],
+            "avg vis acc (train set)": means["occ_acc_vis"],
+            "avg fwd acc (train set)": means["occ_acc_fwd"]})
+    logger.add(summary)
+    if verbose:
+        print(f"Epoch: [{epoch}][TRAINING SUMMARY] Total Time(s): "
+              f"{time.time() - t0:.2f}\taverage loss (per batch): "
+              f"{means['loss']:.4f}")
+    return state, means
+
+
+def eval_epoch(epoch: int, state: TrainState, eval_step, loader, mesh, opt,
+               logger: SymbolLogger, verbose: bool = True):
+    """Validation epoch (test.lua:33-95)."""
+    import jax
+
+    rows = []
+    t0 = time.time()
+    for batch in device_prefetch(iter(loader), mesh, depth=opt.prefetch_depth):
+        logs = eval_step(state.params, batch)
+        jax.block_until_ready(logs["loss"])
+        rows.append({k: float(v) for k, v in logs.items()})
+    means = _epoch_means(rows)
+    summary = {"avg loss (test set)": means["loss"]}
+    if "epe" in means:
+        summary["avg epe (test set)"] = means["epe"]
+    if "occ_acc" in means:
+        summary["avg occ acc (test set)"] = means["occ_acc"]
+    logger.add(summary)
+    if verbose:
+        print(f"Epoch: [{epoch}][TESTING SUMMARY] Total Time(s): "
+              f"{time.time() - t0:.2f}\taverage loss (per batch): "
+              f"{means['loss']:.4f}")
+    return means
+
+
+def run(opt: Options, max_epochs: Optional[int] = None) -> TrainState:
+    """Full training run (main.lua:17-39). Returns the final state."""
+    import jax
+
+    np.random.seed(opt.manualSeed)
+
+    mesh = make_mesh(jax.devices()[:opt.nGPU] if opt.nGPU > 0 else None,
+                     shape=opt.mesh_shape, axes=opt.mesh_axes)
+    model = build_model(opt)
+    crits = build_criterions(opt)
+    params, _cfg, epoch0 = load_or_convert(opt)
+    state = create_train_state(params, opt, epoch=epoch0)
+    state = state.replace(params=replicate(state.params, mesh),
+                          opt_state=replicate(state.opt_state, mesh))
+
+    train_loader, val_loader = build_loaders(opt)
+    step = make_train_step(model, opt, crits)
+    eval_step = make_eval_step(model, opt, crits)
+
+    train_log = SymbolLogger(Path(opt.save) / "train.log")
+    test_log = SymbolLogger(Path(opt.save) / "test.log")
+
+    last = opt.nEpochs if max_epochs is None else min(
+        opt.nEpochs, epoch0 + max_epochs - 1)
+    with mesh:
+        for epoch in range(epoch0, last + 1):
+            state, _ = train_epoch(epoch, state, step, train_loader, mesh,
+                                   opt, train_log)
+            if val_loader is not None:
+                eval_epoch(epoch, state, eval_step, val_loader, mesh, opt,
+                           test_log)
+            if epoch % opt.epochStore == 0:
+                save_checkpoint(opt.save, state, opt, epoch)
+    return state

@@ -25,9 +25,10 @@ def lr_for_epoch(epoch: int, base_lr: float = 0.0) -> float:
     return lr / 16  # beyond epoch 1000: keep the final regime
 
 
-def make_optimizer(opt, epoch: int) -> optax.GradientTransformation:
-    """Build the optimizer for one epoch's regime."""
-    lr = lr_for_epoch(epoch, opt.LR)
+def make_optimizer(opt, epoch: int,
+                   lr_override: float = 0.0) -> optax.GradientTransformation:
+    """Build the optimizer for one epoch's regime (or a pinned LR)."""
+    lr = lr_override if lr_override > 0 else lr_for_epoch(epoch, opt.LR)
     wd = opt.weightDecay
     if opt.optimizer == "adam":
         # torch optim.adam defaults: beta1=0.9, beta2=0.999, eps=1e-8;

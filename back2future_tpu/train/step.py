@@ -35,8 +35,8 @@ def make_train_step(model, opt, crits, donate: bool = True) -> Callable:
         return loss, (comps, outputs)
 
     @functools.lru_cache(maxsize=8)
-    def step_for_epoch(epoch: int):
-        tx = make_optimizer(opt, epoch)
+    def step_for_lr(lr: float):
+        tx = make_optimizer(opt, epoch=1, lr_override=lr)
 
         def train_step(state: TrainState, batch: Dict[str, Any]):
             (loss, (comps, outputs)), grads = jax.value_and_grad(
@@ -58,7 +58,11 @@ def make_train_step(model, opt, crits, donate: bool = True) -> Callable:
         return jax.jit(train_step, donate_argnums=(0,) if donate else ())
 
     def step(state: TrainState, batch):
-        return step_for_epoch(state.epoch)(state, batch)
+        # cache the compiled step by LR: the regime only changes LR every
+        # 200 epochs (train.lua:66-92), so epochs within a regime reuse
+        # one executable instead of recompiling per epoch
+        from .optim import lr_for_epoch
+        return step_for_lr(lr_for_epoch(state.epoch, opt.LR))(state, batch)
 
     return step
 

@@ -1,0 +1,82 @@
+"""Headline benchmark: KITTI-2015 3-frame inference throughput per chip.
+
+Measures the flagship forward path (multi-frame PWC, frames=3, levels=7,
+bfloat16 compute) at the KITTI eval resolution 1242x375, preprocessed the
+way the reference inference API does — W,H rounded down to a multiple of
+64, i.e. 1216x320 (back2future.lua:54-71) — and reports triplets/sec/chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "triplets/sec/chip", "vs_baseline": N}
+
+`vs_baseline` is relative to an estimated Torch7+CUDA-9 reference
+throughput on the 2018-era GPU the reference targeted (README.md:23-33).
+The reference publishes no numbers (BASELINE.json: published={}); we pin
+the estimate at 10 triplets/sec (PWC-class nets ran ~60-100 ms/frame at
+KITTI resolution on that stack, and this model adds a second cost volume
+and an occlusion decoder per level). The driver-defined north star of
+">10x Torch7-CUDA per chip" therefore corresponds to vs_baseline >= 10.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+BASELINE_TRIPLETS_PER_SEC = 10.0  # estimated Torch7-CUDA per-GPU throughput
+
+# KITTI 1242x375 rounded down to multiples of 64 (back2future.lua:54-71)
+H, W = 320, 1216
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from back2future_tpu.config import Options
+    from back2future_tpu.models.pwc import PWCNet, pwc_config_from_options
+
+    opt = Options(compute_dtype="bfloat16").derive()
+    model = PWCNet(pwc_config_from_options(opt))
+
+    batch = 8
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(batch, H, W, 9).astype(np.float32))
+
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 128, 9), jnp.float32))["params"]
+
+    @jax.jit
+    def forward(params, x):
+        outs = model.apply({"params": params}, x)
+        g = outs[0]
+        return g["flow"], g["occ"]
+
+    # compile + warm-up. NOTE: through the remote-relay PJRT backend,
+    # block_until_ready returns immediately on in-flight futures; only a
+    # device->host transfer actually waits for execution. Timing therefore
+    # queues n_iters forwards and forces completion with ONE final fetch
+    # (executions are in-order on the device stream, so the last result
+    # being host-visible implies all prior iterations completed).
+    flow, occ = forward(params, x)
+    np.asarray(flow)
+
+    n_iters = 30
+    t0 = time.perf_counter()
+    for _ in range(n_iters - 1):
+        forward(params, x)
+    flow, occ = forward(params, x)
+    np.asarray(flow)
+    dt = time.perf_counter() - t0
+
+    triplets_per_sec = batch * n_iters / dt
+    print(json.dumps({
+        "metric": "kitti2015_3frame_inference_throughput_1242x375",
+        "value": round(triplets_per_sec, 3),
+        "unit": "triplets/sec/chip",
+        "vs_baseline": round(triplets_per_sec / BASELINE_TRIPLETS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

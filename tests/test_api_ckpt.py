@@ -1,0 +1,170 @@
+"""Inference API, checkpoint/resume, and logger tests."""
+
+import dataclasses
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from back2future_tpu.api import FlowEstimator, init, _round_down_64
+from back2future_tpu.config import Options
+from back2future_tpu.models.pwc import PWCConfig, PWCNet, pwc_config_from_options
+from back2future_tpu.train.checkpoint import (
+    latest_checkpoint, load_model_checkpoint, load_or_convert,
+    load_train_checkpoint, save_checkpoint)
+from back2future_tpu.train.state import create_train_state
+from back2future_tpu.utils import SymbolLogger
+
+
+def small_opt(**kw) -> Options:
+    base = dict(levels=5, frames=3, compute_dtype="float32",
+                cropHeight=32, cropWidth=64, cache="", expName="")
+    base.update(kw)
+    return Options(**base).derive()
+
+
+def small_model_and_params(opt, seed=0):
+    cfg = pwc_config_from_options(opt)
+    model = PWCNet(cfg)
+    params = model.init(jax.random.PRNGKey(seed),
+                        jnp.zeros((1, 32, 64, 3 * opt.frames)))["params"]
+    return model, cfg, params
+
+
+class TestApi:
+    def test_round_down_64(self):
+        assert _round_down_64(1242) == 1216
+        assert _round_down_64(375) == 320
+        assert _round_down_64(64) == 64
+        assert _round_down_64(40) == 64  # floor at one tile
+
+    def test_compute_flow_shapes(self):
+        opt = small_opt()
+        _, cfg, params = small_model_and_params(opt)
+        cf = init((params, cfg), dtype="float32")
+        rng = np.random.default_rng(0)
+        ims = [rng.random((96, 130, 3)).astype(np.float32) for _ in range(3)]
+        flow, fwd_occ, bwd_occ = cf(*ims)
+        assert flow.shape == (96, 130, 2)
+        assert fwd_occ.shape == (96, 130) and fwd_occ.dtype == bool
+        assert bwd_occ.shape == (96, 130)
+        assert np.isfinite(flow).all()
+
+    def test_component_rescaling(self):
+        """u is scaled by W/W64 and v by H/H64 (back2future.lua:77-84)."""
+        opt = small_opt()
+        _, cfg, params = small_model_and_params(opt)
+        est = FlowEstimator(params, cfg, dtype="float32")
+        rng = np.random.default_rng(0)
+        # exact /64 input: no resizing at all
+        ims = [rng.random((64, 128, 3)).astype(np.float32) for _ in range(3)]
+        flow, _, _ = est(*ims)
+        ims2 = [np.asarray(
+            np.kron(im, np.ones((2, 2, 1), np.float32)), np.float32)
+            for im in ims]  # 128x256: still /64, doubled
+        flow2, _, _ = est(*ims2)
+        assert flow2.shape == (128, 256, 2)
+
+    def test_wrong_frame_count_raises(self):
+        opt = small_opt()
+        _, cfg, params = small_model_and_params(opt)
+        est = FlowEstimator(params, cfg, dtype="float32")
+        im = np.zeros((64, 64, 3), np.float32)
+        with pytest.raises(ValueError, match="frames"):
+            est(im, im, np.zeros((64, 64, 6), np.float32))
+
+    def test_missing_checkpoint_raises(self):
+        with pytest.raises(FileNotFoundError, match="convert"):
+            init("Ours-Hard")
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip(self, tmp_path):
+        opt = small_opt()
+        _, cfg, params = small_model_and_params(opt)
+        state = create_train_state(params, opt, epoch=3)
+        mp, op = save_checkpoint(tmp_path, state, opt, epoch=3)
+        assert mp.name == "model_3.msgpack" and op.name == "optimState_3.msgpack"
+
+        params2, cfg2 = load_model_checkpoint(mp, opt)
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(params2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        state2, next_epoch = load_train_checkpoint(tmp_path, opt)
+        assert next_epoch == 4
+        np.testing.assert_array_equal(np.asarray(state2.step),
+                                      np.asarray(state.step))
+
+    def test_latest_scan(self, tmp_path):
+        opt = small_opt()
+        _, _, params = small_model_and_params(opt)
+        state = create_train_state(params, opt)
+        for e in (1, 5, 12):
+            save_checkpoint(tmp_path, state, opt, epoch=e)
+        p, e = latest_checkpoint(tmp_path)
+        assert e == 12 and p.name == "model_12.msgpack"
+        assert latest_checkpoint(tmp_path / "nope") == (None, 0)
+
+    def test_options_sidecar_restores_config(self, tmp_path):
+        opt = small_opt()
+        _, cfg, params = small_model_and_params(opt)
+        state = create_train_state(params, opt)
+        save_checkpoint(tmp_path, state, opt, epoch=1)
+        _, cfg2 = load_model_checkpoint(tmp_path)  # directory form, no opt
+        assert cfg2.levels == cfg.levels and cfg2.frames == cfg.frames
+
+    def test_cont_resume_path(self, tmp_path):
+        opt = dataclasses.replace(small_opt(), cont=True,
+                                  save=str(tmp_path))
+        _, _, params = small_model_and_params(opt)
+        state = create_train_state(params, opt)
+        save_checkpoint(tmp_path, state, opt, epoch=7)
+        params2, _cfg, epoch0 = load_or_convert(opt)
+        assert epoch0 == 8
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(params2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_convert_to_soft_via_retrain(self, tmp_path):
+        hard_opt = small_opt()
+        _, _, hard_params = small_model_and_params(hard_opt)
+        state = create_train_state(hard_params, hard_opt)
+        save_checkpoint(tmp_path, state, hard_opt, epoch=2)
+
+        soft_opt = dataclasses.replace(
+            small_opt(past_flow=True), retrain=str(tmp_path),
+            convert_to_soft=True)
+        params, cfg, _ = load_or_convert(soft_opt)
+        assert cfg.past_flow
+        # future-flow decoders carry the hard weights verbatim
+        for l in range(cfg.l_st, cfg.levels + 1):
+            a = hard_params[f"flow_decoder_{l}"]
+            b = params[f"flow_decoder_{l}"]
+            for x, y in zip(jax.tree_util.tree_leaves(a),
+                            jax.tree_util.tree_leaves(b)):
+                np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+            assert f"past_decoder_{l}" in params
+
+
+class TestLogger:
+    def test_tsv_roundtrip(self, tmp_path):
+        log = SymbolLogger(tmp_path / "train.log")
+        log.add({"avg loss (train set)": 1.5, "avg epe (train set)": 3.25})
+        log.add({"avg loss (train set)": 1.25, "avg epe (train set)": 3.0})
+        cols = log.read()
+        assert cols["avg loss (train set)"] == [1.5, 1.25]
+        assert cols["avg epe (train set)"] == [3.25, 3.0]
+
+    def test_reopen_appends(self, tmp_path):
+        SymbolLogger(tmp_path / "t.log").add({"a": 1.0})
+        log2 = SymbolLogger(tmp_path / "t.log")
+        log2.add({"a": 2.0})
+        assert log2.read()["a"] == [1.0, 2.0]
+
+    def test_unknown_symbol_raises(self, tmp_path):
+        log = SymbolLogger(tmp_path / "t.log")
+        log.add({"a": 1.0})
+        with pytest.raises(ValueError, match="unknown log symbols"):
+            log.add({"b": 2.0})

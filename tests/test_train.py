@@ -185,9 +185,10 @@ class TestDataParallel:
         state8, logs8 = step(state8, sharded)
 
         assert float(logs1["loss"]) == pytest.approx(float(logs8["loss"]), rel=1e-4)
-        # parameters after the step agree
+        # parameters after the step agree (atol floor covers reduction-order
+        # noise of the sharded all-reduce amplified by Adam's rsqrt)
         l1 = jax.tree_util.tree_leaves(state1.params)
         l8 = jax.tree_util.tree_leaves(state8.params)
         for a, b in zip(l1, l8):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=2e-4, atol=2e-6)
+                                       rtol=2e-4, atol=2e-5)
