@@ -56,6 +56,7 @@ class PWCConfig:
     past_flow: bool = False
     dtype: Any = jnp.float32
     reference_grads: bool = True
+    use_pallas: bool = False   # fused TPU cost-volume kernel
 
     @property
     def ref(self) -> int:
@@ -106,6 +107,7 @@ def pwc_config_from_options(opt) -> PWCConfig:
         sum_cvs=opt.pwc_sum_cvs, past_flow=opt.past_flow,
         dtype={"float32": jnp.float32, "bfloat16": jnp.bfloat16}[opt.compute_dtype],
         reference_grads=opt.reference_grads,
+        use_pallas=opt.use_pallas,
     )
 
 
@@ -209,11 +211,13 @@ class PWCNet(nn.Module):
             inp = cs if l == levels else ws
 
             future = [inp[f][l] for f in range(ref + 1, l_i + 1)]
-            cv_fwd = cost_volume_multi(cs[ref][l], future, cfg.win, fwd=True)
+            cv_fwd = cost_volume_multi(cs[ref][l], future, cfg.win, fwd=True,
+                                       use_pallas=cfg.use_pallas)
 
             if multi:
                 past = [inp[f][l] for f in range(ref - 1, 0, -1)]
-                cv_bwd = cost_volume_multi(cs[ref][l], past, cfg.win, fwd=False)
+                cv_bwd = cost_volume_multi(cs[ref][l], past, cfg.win, fwd=False,
+                                           use_pallas=cfg.use_pallas)
                 if cfg.sum_cvs:
                     cvs_flow = cv_fwd + cv_bwd
                 else:

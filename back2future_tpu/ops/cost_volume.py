@@ -37,11 +37,19 @@ def _displacements(win: int, dilation: int, fwd: bool) -> np.ndarray:
 
 
 def cost_volume(ref: jax.Array, frame: jax.Array, win: int, dilation: int = 1,
-                fwd: bool = True, unroll: bool = False) -> jax.Array:
+                fwd: bool = True, unroll: bool = False,
+                use_pallas: bool = False) -> jax.Array:
     """Single-frame cost volume (one term of `cost_volume_multi`, without the
     final normalization)."""
     if ref.shape != frame.shape:
         raise ValueError(f"shape mismatch {ref.shape} vs {frame.shape}")
+    if use_pallas and jax.default_backend() == "tpu":
+        # only on real TPU: the CPU fallback would run the kernel in the
+        # (slow) interpreter; the XLA path is the CPU reference anyway
+        from .cost_volume_pallas import cost_volume_pallas, fits_vmem
+        b, h, w, c = ref.shape
+        if fits_vmem(h, w, c, win, dilation, ref.dtype):
+            return cost_volume_pallas(ref, frame, win, dilation, fwd)
     b, h, w, c = ref.shape
     n = (win - 1) // 2
     pad = n * dilation
@@ -69,7 +77,8 @@ def cost_volume(ref: jax.Array, frame: jax.Array, win: int, dilation: int = 1,
 
 
 def cost_volume_multi(ref: jax.Array, frames: Sequence[jax.Array], win: int,
-                      fwd: bool = True, unroll: bool = False) -> jax.Array:
+                      fwd: bool = True, unroll: bool = False,
+                      use_pallas: bool = False) -> jax.Array:
     """Multi-frame cost volume w.r.t. `ref`.
 
     `frames[k]` is the frame at temporal distance k+1 from the reference
@@ -79,6 +88,7 @@ def cost_volume_multi(ref: jax.Array, frames: Sequence[jax.Array], win: int,
     c = ref.shape[-1]
     acc = None
     for k, frame in enumerate(frames):
-        cv = cost_volume(ref, frame, win, dilation=k + 1, fwd=fwd, unroll=unroll)
+        cv = cost_volume(ref, frame, win, dilation=k + 1, fwd=fwd,
+                         unroll=unroll, use_pallas=use_pallas)
         acc = cv if acc is None else acc + cv
     return acc / (c * len(frames))
