@@ -31,6 +31,25 @@ def _safe_mean(values: jax.Array, mask: jax.Array) -> jax.Array:
     return jnp.where(n > 0, jnp.sum(values * mask) / jnp.maximum(n, 1.0), 0.0)
 
 
+def fl_all(epe_px: jax.Array, flow_gt_px: jax.Array,
+           mask: jax.Array) -> jax.Array:
+    """KITTI Fl-all outlier rate: EPE > 3 px AND > 5% of gt magnitude
+    (the benchmark the reference reports against; not computed in-repo)."""
+    mag = jnp.sqrt(jnp.sum(flow_gt_px ** 2, axis=-1))
+    outlier = ((epe_px > 3.0) & (epe_px > 0.05 * mag)).astype(epe_px.dtype)
+    return _safe_mean(outlier, mask)
+
+
+def occ_f1(occ_pred_sharp: jax.Array, occ_label: jax.Array) -> jax.Array:
+    """F1 of occlusion detection: positive = not visible (label != 0.5)."""
+    pred = occ_pred_sharp != 0.5
+    gt = occ_label != 0.5
+    tp = jnp.sum((pred & gt).astype(jnp.float32))
+    fp = jnp.sum((pred & ~gt).astype(jnp.float32))
+    fn = jnp.sum((~pred & gt).astype(jnp.float32))
+    return 2 * tp / jnp.maximum(2 * tp + fp + fn, 1.0)
+
+
 def full_res_metrics(flow_pred: jax.Array, occ_pred, batch: Dict,
                      flownet_factor: float, size_average: bool) -> Dict[str, jax.Array]:
     """Metrics on the finest-level outputs vs full-res ground truth.
@@ -51,7 +70,9 @@ def full_res_metrics(flow_pred: jax.Array, occ_pred, batch: Dict,
     epe_nocc = _safe_mean(m * flownet_factor, vis * mask)
     epe_occ = _safe_mean(m * flownet_factor, occluded * mask)
 
-    out = {"epe": epe, "epe_nocc": epe_nocc, "epe_occ": epe_occ}
+    out = {"epe": epe, "epe_nocc": epe_nocc, "epe_occ": epe_occ,
+           "fl_all": fl_all(m * flownet_factor,
+                            batch["flow_gt"] * flownet_factor, mask)}
 
     if occ_pred is not None:
         sharp = decode_occ(occ_pred)
@@ -61,4 +82,5 @@ def full_res_metrics(flow_pred: jax.Array, occ_pred, batch: Dict,
         out["occ_acc_bwd"] = _safe_mean(correct, (lbl == 0.0).astype(m.dtype))
         out["occ_acc_vis"] = _safe_mean(correct, (lbl == 0.5).astype(m.dtype))
         out["occ_acc_fwd"] = _safe_mean(correct, (lbl == 1.0).astype(m.dtype))
+        out["occ_f1"] = occ_f1(sharp, lbl)
     return out

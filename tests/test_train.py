@@ -103,6 +103,26 @@ class TestMetrics:
         assert float(m["occ_acc_vis"]) == pytest.approx(1.0)
         assert float(m["occ_acc_bwd"]) == pytest.approx(0.0)
         assert float(m["occ_acc_fwd"]) == pytest.approx(0.0)
+        # no predicted occlusions, two gt-occluded pixels -> F1 = 0
+        assert float(m["occ_f1"]) == pytest.approx(0.0)
+
+    def test_fl_all(self):
+        from back2future_tpu.train.metrics import fl_all
+        # gt magnitude 100 px: outlier needs epe > 5 px (5% rule);
+        # gt magnitude 10 px: outlier needs epe > 3 px (3 px rule)
+        epe = jnp.asarray([[4.0, 6.0, 4.0, 2.0]])
+        gt = jnp.asarray([[[100.0, 0], [100.0, 0], [10.0, 0], [10.0, 0]]])
+        mask = jnp.ones((1, 4))
+        # pixel0: 4 < 5 -> in; pixel1: 6 > 5 -> out; pixel2: 4 > 3 and
+        # 4 > 0.5 -> out; pixel3: 2 < 3 -> in  => Fl-all = 0.5
+        assert float(fl_all(epe, gt, mask)) == pytest.approx(0.5)
+
+    def test_occ_f1_perfect_and_partial(self):
+        from back2future_tpu.train.metrics import occ_f1
+        lbl = jnp.asarray([[0.0, 0.5, 1.0, 0.5]])
+        assert float(occ_f1(lbl, lbl)) == pytest.approx(1.0)
+        pred = jnp.asarray([[0.0, 0.5, 0.5, 0.5]])  # misses one occ: tp=1,fn=1
+        assert float(occ_f1(pred, lbl)) == pytest.approx(2 / 3)
 
 
 class TestTrainStepPME:

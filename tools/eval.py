@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Standalone benchmark evaluation: AEPE / Fl-all / occlusion metrics over
+a dataset split (the BASELINE.json "batched inference + eval" config; the
+reference's equivalent is a `test()` pass, test.lua:33-312).
+
+    python tools/eval.py --checkpoint models/RoamingImages_H_KITTI_S \
+        --dataset Kitti2015 --datasets_dir datasets --data_root /data/kitti \
+        [--split val|all] [--batchSize 4] [--limit N] [--cpu]
+
+Prints one JSON line with the aggregate metrics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--dataset", default="Kitti2015")
+    ap.add_argument("--datasets_dir", default="datasets")
+    ap.add_argument("--data_root", default="")
+    ap.add_argument("--split", default="val", choices=["val", "train", "all"])
+    ap.add_argument("--batchSize", type=int, default=4)
+    ap.add_argument("--limit", type=int, default=0)
+    ap.add_argument("--cropHeight", type=int, default=0,
+                    help="center-crop height (default: dataset eval size)")
+    ap.add_argument("--cropWidth", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    import dataclasses
+
+    import numpy as np
+
+    from back2future_tpu.config import Options
+    from back2future_tpu.data import (FlowDataset, PrefetchLoader,
+                                      SampleConfig, load_manifest, load_split)
+    from back2future_tpu.models.pwc import PWCNet
+    from back2future_tpu.train.checkpoint import load_model_checkpoint
+    from back2future_tpu.train.metrics import full_res_metrics
+
+    params, cfg = load_model_checkpoint(args.checkpoint)
+    model = PWCNet(cfg)
+
+    opt = Options(dataset=args.dataset, ground_truth=True,
+                  frames=cfg.frames, levels=cfg.levels,
+                  cropHeight=args.cropHeight, cropWidth=args.cropWidth,
+                  rand_crop=0).derive()
+    scfg = SampleConfig.from_options(opt)
+    specs = load_manifest(Path(args.datasets_dir) / f"{args.dataset}.dat",
+                          ground_truth=True, root=args.data_root or None)
+    split_path = Path(args.datasets_dir) / f"{args.dataset}_split.dat"
+    if split_path.exists() and args.split != "all":
+        tr, va = load_split(split_path)
+        idx = va if args.split == "val" else tr
+    else:
+        idx = np.arange(len(specs))
+    if args.limit:
+        idx = idx[:args.limit]
+
+    ds = FlowDataset(specs, scfg, idx, train=False)
+    n_batches = len(ds) // args.batchSize
+    loader = PrefetchLoader(ds, args.batchSize, n_batches, n_workers=4,
+                            sequential=True)
+
+    @jax.jit
+    def metrics_step(params, batch):
+        outs = model.apply({"params": params}, batch["images"])
+        g0 = outs[0]
+        return full_res_metrics(
+            g0["flow"].astype("float32"),
+            None if g0["occ"] is None else g0["occ"].astype("float32"),
+            batch, cfg.flownet_factor, size_average=False)
+
+    rows = []
+    for batch in loader:
+        logs = metrics_step(params, batch)
+        rows.append({k: float(v) for k, v in logs.items()})
+    agg = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
+    agg["n_samples"] = n_batches * args.batchSize
+    print(json.dumps(agg))
+
+
+if __name__ == "__main__":
+    main()
