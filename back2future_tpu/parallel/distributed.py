@@ -1,0 +1,69 @@
+"""Multi-host (DCN) initialization and per-host data sharding.
+
+The reference's parallelism stops at single-process multi-GPU
+(DataParallelTable, util.lua:27-48). The TPU-native scale-out path is
+standard JAX multi-host SPMD: every host runs the same program,
+`jax.distributed.initialize` wires the hosts over DCN, the mesh spans all
+chips in the slice, and each host feeds only its local shard of the batch
+(`host_local_batch` + `make_global_batch` below). Gradient all-reduce
+stays on ICI inside the slice; only init/checkpoint coordination crosses
+DCN.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Wire up multi-host JAX (no-op for single-process runs).
+
+    With TPU pod environment variables present, bare
+    `jax.distributed.initialize()` autodetects everything."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        if coordinator_address is None:
+            jax.distributed.initialize()
+        else:
+            jax.distributed.initialize(coordinator_address, num_processes,
+                                       process_id)
+    except Exception:
+        # single-host / no cluster env: stay local
+        pass
+
+
+def host_local_batch_size(global_batch: int) -> int:
+    n = jax.process_count()
+    if global_batch % n:
+        raise ValueError(f"global batch {global_batch} not divisible by "
+                         f"{n} hosts")
+    return global_batch // n
+
+
+def make_global_batch(local_batch: Dict[str, np.ndarray], mesh: Mesh,
+                      spatial: bool = False) -> Dict[str, jax.Array]:
+    """Assemble a globally-sharded batch from per-host local arrays.
+
+    Each host passes its own local shard; the returned arrays are global
+    jax.Arrays laid out batch-major over the mesh's 'data' axis
+    (the multi-host generalization of parallel.mesh.shard_batch)."""
+    def put(x):
+        if x is None:
+            return None
+        spec = [None] * x.ndim
+        spec[0] = "data"
+        if spatial and "spatial" in mesh.axis_names and x.ndim >= 2:
+            spec[1] = "spatial"
+        sharding = NamedSharding(mesh, P(*spec))
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        return jax.make_array_from_process_local_data(sharding, x,
+                                                      global_shape)
+
+    return jax.tree_util.tree_map(put, local_batch)

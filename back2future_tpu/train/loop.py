@@ -90,6 +90,34 @@ def _fmt_console(epoch, i, n, timer: StepTimer, logs: Dict, lr: float) -> str:
     return "\t".join(parts)
 
 
+def _debug_dump(save: str, epoch: int, i: int, model, params, batch,
+                frames: int) -> None:
+    """-debug 1: dump the reference frame and the finest-level warped
+    frames as PNGs (train.lua:254-277 writes them to tmp/)."""
+    import jax
+
+    from ..data.augment import IMAGENET_MEAN, IMAGENET_STD
+    from ..io.png16 import write_png
+
+    out_dir = Path(save) / "tmp"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    fwd = _debug_dump.__dict__.setdefault(
+        id(model), jax.jit(lambda p, x: model.apply({"params": p}, x)))
+    outputs = fwd(params, batch["images"])
+    g0 = outputs[0]
+    rc = (0 if frames == 2 else (frames - 1) // 2) * 3
+
+    def unnorm(img):
+        x = np.asarray(img, np.float32) * IMAGENET_STD + IMAGENET_MEAN
+        return (np.clip(x, 0, 1) * 255).astype(np.uint8)
+
+    ref_img = np.asarray(batch["images"][0][..., rc:rc + 3])
+    write_png(out_dir / f"e{epoch}_b{i}_ref.png", unnorm(ref_img))
+    for k, wimg in enumerate(g0["warped"]):
+        write_png(out_dir / f"e{epoch}_b{i}_warp{k}.png",
+                  unnorm(np.asarray(wimg[0], np.float32)))
+
+
 def _epoch_means(rows) -> Dict[str, float]:
     keys = rows[0].keys()
     return {k: float(np.mean([float(r[k]) for r in rows if k in r]))
@@ -97,7 +125,7 @@ def _epoch_means(rows) -> Dict[str, float]:
 
 
 def train_epoch(epoch: int, state: TrainState, step, loader, mesh, opt,
-                logger: SymbolLogger, verbose: bool = True):
+                logger: SymbolLogger, verbose: bool = True, model=None):
     """One training epoch (train.lua:108-186)."""
     import jax
 
@@ -116,6 +144,9 @@ def train_epoch(epoch: int, state: TrainState, step, loader, mesh, opt,
         rows.append(logs)
         if verbose:
             print(_fmt_console(epoch, i + 1, len(loader), timer, logs, lr))
+        if opt.debug == 1 and model is not None:
+            _debug_dump(opt.save, epoch, i, model, state.params, batch,
+                        opt.frames)
 
     means = _epoch_means(rows)
     summary = {"avg loss (train set)": means["loss"]}
@@ -190,7 +221,7 @@ def run(opt: Options, max_epochs: Optional[int] = None) -> TrainState:
     with mesh:
         for epoch in range(epoch0, last + 1):
             state, _ = train_epoch(epoch, state, step, train_loader, mesh,
-                                   opt, train_log)
+                                   opt, train_log, model=model)
             if val_loader is not None:
                 eval_epoch(epoch, state, eval_step, val_loader, mesh, opt,
                            test_log)
