@@ -43,6 +43,22 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pad_aligned(x: jax.Array, pad: int) -> Tuple[jax.Array, int, int]:
+    """Zero-pad (B,H,W,C) with `pad` halo rows/cols, then align the minor
+    dims (W -> sublane multiple, C -> lane multiple) so Mosaic can slice
+    the HBM memref for the manual halo DMA. Extra zeros are never read by
+    the logical-extent slices inside the kernels."""
+    b, h, w, c = x.shape
+    wp = _round_up(w + 2 * pad, 16)
+    cp = _round_up(c, 128)
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, wp - (w + pad)),
+                       (0, cp - c))), wp, cp
+
+
 def _bytes(shape, dtype) -> int:
     return int(np.prod(shape)) * np.dtype(dtype).itemsize
 
@@ -53,17 +69,20 @@ def pick_tile(h: int, w: int, c: int, win: int, dilation: int,
     None -> fall back to XLA."""
     p = (win - 1) // 2 * dilation
     q = win * win
+    wp = _round_up(w + 2 * p, 16)        # aligned haloed-scratch minor dims
+    cp = _round_up(c, 128)
+    qp = _round_up(q, 128)
     for th in sorted({d for d in range(1, h + 1) if h % d == 0},
                      reverse=True):
         # x2 on pipelined blocks (double buffering), x1 on DMA scratch
         fwd = (2 * (_bytes((th, w, c), dtype) + _bytes((th, w, q), dtype))
-               + _bytes((th + 2 * p, w + 2 * p, c), dtype))
+               + _bytes((th + 2 * p, wp, cp), dtype))
         dref = (2 * (_bytes((th, w, q), dtype) + _bytes((th, w, c), dtype))
-                + _bytes((th + 2 * p, w + 2 * p, c), dtype)
+                + _bytes((th + 2 * p, wp, cp), dtype)
                 + _bytes((th, w, c), jnp.float32))
         dframe = (2 * 2 * _bytes((th, w, c), dtype)
-                  + _bytes((th + 2 * p, w + 2 * p, q), dtype)
-                  + _bytes((th + 2 * p, w + 2 * p, c), dtype)
+                  + _bytes((th + 2 * p, wp, qp), dtype)
+                  + _bytes((th + 2 * p, wp, cp), dtype)
                   + _bytes((th, w, c), jnp.float32))
         if max(fwd, dref, dframe) <= _VMEM_BUDGET:
             return th
@@ -88,20 +107,21 @@ def _fwd_kernel(disp, pad, th, ref_ref, framep_hbm, out_ref, scratch, sem):
     _slab(framep_hbm, b, i * th, th + 2 * pad, scratch, sem)
     r = ref_ref[0].astype(jnp.float32)                 # (TH, W, C)
     h, w = r.shape[0], r.shape[1]
+    c = r.shape[2]
     for qi, (qy, qx) in enumerate(disp):
         dy, dx = pad - int(qy), pad - int(qx)
-        sl = scratch[dy:dy + h, dx:dx + w, :].astype(jnp.float32)
+        sl = scratch[dy:dy + h, dx:dx + w, :c].astype(jnp.float32)
         out_ref[0, :, :, qi] = jnp.sum(r * sl, axis=-1).astype(out_ref.dtype)
 
 
 def _dref_kernel(disp, pad, th, g_ref, framep_hbm, out_ref, scratch, sem):
     b, i = pl.program_id(0), pl.program_id(1)
     _slab(framep_hbm, b, i * th, th + 2 * pad, scratch, sem)
-    h, w = out_ref.shape[1], out_ref.shape[2]
+    h, w, c = out_ref.shape[1], out_ref.shape[2], out_ref.shape[3]
     acc = jnp.zeros(out_ref.shape[1:], jnp.float32)
     for qi, (qy, qx) in enumerate(disp):
         dy, dx = pad - int(qy), pad - int(qx)
-        sl = scratch[dy:dy + h, dx:dx + w, :].astype(jnp.float32)
+        sl = scratch[dy:dy + h, dx:dx + w, :c].astype(jnp.float32)
         acc = acc + g_ref[0, :, :, qi].astype(jnp.float32)[..., None] * sl
     out_ref[0] = acc.astype(out_ref.dtype)
 
@@ -111,12 +131,12 @@ def _dframe_kernel(disp, pad, th, gp_hbm, refp_hbm, out_ref,
     b, i = pl.program_id(0), pl.program_id(1)
     _slab(gp_hbm, b, i * th, th + 2 * pad, g_scratch, gsem)
     _slab(refp_hbm, b, i * th, th + 2 * pad, r_scratch, rsem)
-    h, w = out_ref.shape[1], out_ref.shape[2]
+    h, w, c = out_ref.shape[1], out_ref.shape[2], out_ref.shape[3]
     acc = jnp.zeros(out_ref.shape[1:], jnp.float32)
     for qi, (qy, qx) in enumerate(disp):
         dy, dx = pad + int(qy), pad + int(qx)
         g = g_scratch[dy:dy + h, dx:dx + w, qi].astype(jnp.float32)
-        r = r_scratch[dy:dy + h, dx:dx + w, :].astype(jnp.float32)
+        r = r_scratch[dy:dy + h, dx:dx + w, :c].astype(jnp.float32)
         acc = acc + g[..., None] * r
     out_ref[0] = acc.astype(out_ref.dtype)
 
@@ -139,7 +159,7 @@ def _cv_forward(ref, frame, win, dilation, fwd):
     th = pick_tile(h, w, c, win, dilation, ref.dtype)
     assert th is not None, "caller must gate on fits_vmem"
     disp = tuple(map(tuple, _displacements(win, dilation, fwd)))
-    padded = jnp.pad(frame, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    padded, wp, cp = _pad_aligned(frame, pad)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, disp, pad, th),
         out_shape=jax.ShapeDtypeStruct((b, h, w, win * win), ref.dtype),
@@ -147,7 +167,7 @@ def _cv_forward(ref, frame, win, dilation, fwd):
         in_specs=[_block((w, c), th), _hbm_spec()],
         out_specs=_block((w, win * win), th),
         scratch_shapes=[
-            pltpu.VMEM((th + 2 * pad, w + 2 * pad, c), ref.dtype),
+            pltpu.VMEM((th + 2 * pad, wp, cp), ref.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=_use_interpret(),
@@ -179,7 +199,7 @@ def _cv_bwd_rule(win, dilation, fwd, res, g):
     disp = tuple(map(tuple, _displacements(win, dilation, fwd)))
     g = g.astype(ref.dtype)
 
-    framep = jnp.pad(frame, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    framep, wp, cp = _pad_aligned(frame, pad)
     d_ref = pl.pallas_call(
         functools.partial(_dref_kernel, disp, pad, th),
         out_shape=jax.ShapeDtypeStruct(ref.shape, ref.dtype),
@@ -187,14 +207,14 @@ def _cv_bwd_rule(win, dilation, fwd, res, g):
         in_specs=[_block((w, win * win), th), _hbm_spec()],
         out_specs=_block((w, c), th),
         scratch_shapes=[
-            pltpu.VMEM((th + 2 * pad, w + 2 * pad, c), ref.dtype),
+            pltpu.VMEM((th + 2 * pad, wp, cp), ref.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=_use_interpret(),
     )(g, framep)
 
-    gp = jnp.pad(g, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
-    refp = jnp.pad(ref, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    gp, wp, qp = _pad_aligned(g, pad)
+    refp, _, cp = _pad_aligned(ref, pad)
     d_frame = pl.pallas_call(
         functools.partial(_dframe_kernel, disp, pad, th),
         out_shape=jax.ShapeDtypeStruct(frame.shape, frame.dtype),
@@ -202,8 +222,8 @@ def _cv_bwd_rule(win, dilation, fwd, res, g):
         in_specs=[_hbm_spec(), _hbm_spec()],
         out_specs=_block((w, c), th),
         scratch_shapes=[
-            pltpu.VMEM((th + 2 * pad, w + 2 * pad, win * win), g.dtype),
-            pltpu.VMEM((th + 2 * pad, w + 2 * pad, c), ref.dtype),
+            pltpu.VMEM((th + 2 * pad, wp, qp), g.dtype),
+            pltpu.VMEM((th + 2 * pad, wp, cp), ref.dtype),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],

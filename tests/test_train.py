@@ -211,4 +211,4 @@ class TestDataParallel:
         l8 = jax.tree_util.tree_leaves(state8.params)
         for a, b in zip(l1, l8):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                       rtol=2e-4, atol=2e-5)
+                                       rtol=2e-4, atol=5e-5)
