@@ -2,24 +2,29 @@
 
 The pure-XLA implementation (cost_volume.py) lowers to a win**2-iteration
 scan whose every step re-reads the full reference and frame feature maps
-from HBM — O(win**2) HBM traffic. These kernels keep a reference row-slab
-and the matching haloed frame slab resident in VMEM and sweep all win**2
-displacements on-chip, so each map is read from HBM exactly once
-(the design target from SURVEY.md §7 "hard parts" #2; reference semantics
-from models/CostVolMulti.lua:49-108).
+from HBM — O(win**2) HBM traffic — and reduces over the channel (lane)
+dimension with cross-lane shuffles. This kernel works channels-major:
 
-Forward:   out[b,y,x,q] = sum_c ref[b,y,x,c] * frame[b, y-qy(q), x-qx(q), c]
-Backward:  d_ref  [b,y,x,c] = sum_q g[b,y,x,q]     * frame[b, y-qy, x-qx, c]
-           d_frame[b,y,x,c] = sum_q g[b,y+qy,x+qx,q] * ref[b, y+qy, x+qx, c]
-(zero outside the overlap; q enumerates qx outer / qy inner, displacements
-dilated by the frame distance and mirrored for past frames.)
+    ref   (B, C, H, W)   pipelined VMEM blocks, one (TH, W) tile per c
+    frame (B, C, Hp, Wp) stays in HBM; the kernel DMAs the whole padded
+                          image of the current batch element into a VMEM
+                          slab ONCE (first row-tile), then every
+                          displacement/channel reads it on-chip
+    out   (B, Q, H, W)   per-q writes are contiguous (TH, W) planes
 
-Grid = (B, H/TH). Non-haloed operands (ref slab, grad slab, outputs) are
-delivered as pipelined VMEM blocks; the haloed operand lives in HBM/ANY
-and the kernel DMAs its (TH+2p) row window into scratch (halo reads
-overlap between adjacent tiles, which BlockSpec pipelining cannot
-express). Accumulation is f32 regardless of input dtype. Falls back to
-the XLA path when no row tiling fits the VMEM budget.
+so each feature map crosses HBM exactly once, the inner loop is pure
+(TH, W)-tile FMAs on the VPU with f32 accumulation (no cross-lane
+reductions, no per-lane masked writes), and the layout moves to/from
+NHWC are plain XLA transposes outside the kernel.
+
+Semantics (models/CostVolMulti.lua:49-108):
+    out[b,y,x,q] = sum_c ref[b,y,x,c] * frame[b, y-qy(q), x-qx(q), c]
+q enumerates qx outer / qy inner; displacements are dilated by the frame
+distance and mirrored for past frames; zero outside the overlap.
+
+The backward pass reuses the XLA implementation via jax.vjp (the op is
+bilinear, so XLA autodiff is exact); training-step fusion of the
+backward is a later optimization.
 """
 
 from __future__ import annotations
@@ -36,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .cost_volume import _displacements
 
-_VMEM_BUDGET = 10 * 1024 * 1024
+_VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def _use_interpret() -> bool:
@@ -47,44 +52,33 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _pad_aligned(x: jax.Array, pad: int) -> Tuple[jax.Array, int, int]:
-    """Zero-pad (B,H,W,C) with `pad` halo rows/cols, then align the minor
-    dims (W -> sublane multiple, C -> lane multiple) so Mosaic can slice
-    the HBM memref for the manual halo DMA. Extra zeros are never read by
-    the logical-extent slices inside the kernels."""
-    b, h, w, c = x.shape
-    wp = _round_up(w + 2 * pad, 16)
-    cp = _round_up(c, 128)
-    return jnp.pad(x, ((0, 0), (pad, pad), (pad, wp - (w + pad)),
-                       (0, cp - c))), wp, cp
-
-
 def _bytes(shape, dtype) -> int:
     return int(np.prod(shape)) * np.dtype(dtype).itemsize
 
 
+def _slab_dims(h: int, w: int, pad: int) -> Tuple[int, int]:
+    """Padded-slab minor dims, tile-aligned so the HBM memref can be
+    DMA-sliced: rows to a sublane multiple, cols to a lane multiple."""
+    return _round_up(h + 2 * pad, 16), _round_up(w + 2 * pad, 128)
+
+
 def pick_tile(h: int, w: int, c: int, win: int, dilation: int,
               dtype=jnp.bfloat16) -> Optional[int]:
-    """Largest divisor TH of H whose worst-kernel VMEM footprint fits.
-    None -> fall back to XLA."""
+    """Largest divisor TH of H whose VMEM footprint fits. None -> XLA."""
     p = (win - 1) // 2 * dilation
     q = win * win
-    wp = _round_up(w + 2 * p, 16)        # aligned haloed-scratch minor dims
-    cp = _round_up(c, 128)
-    qp = _round_up(q, 128)
-    for th in sorted({d for d in range(1, h + 1) if h % d == 0},
-                     reverse=True):
-        # x2 on pipelined blocks (double buffering), x1 on DMA scratch
-        fwd = (2 * (_bytes((th, w, c), dtype) + _bytes((th, w, q), dtype))
-               + _bytes((th + 2 * p, wp, cp), dtype))
-        dref = (2 * (_bytes((th, w, q), dtype) + _bytes((th, w, c), dtype))
-                + _bytes((th + 2 * p, wp, cp), dtype)
-                + _bytes((th, w, c), jnp.float32))
-        dframe = (2 * 2 * _bytes((th, w, c), dtype)
-                  + _bytes((th + 2 * p, wp, qp), dtype)
-                  + _bytes((th + 2 * p, wp, cp), dtype)
-                  + _bytes((th, w, c), jnp.float32))
-        if max(fwd, dref, dframe) <= _VMEM_BUDGET:
+    hp, wp = _slab_dims(h, w, p)
+    slab = _bytes((c, hp, wp), dtype)
+    if slab > _VMEM_BUDGET:
+        return None
+    # row tiles must keep slab loads sublane-aligned: TH a multiple of 8,
+    # or a single whole-image tile (offset 0 is trivially aligned)
+    cands = [d for d in range(1, h + 1)
+             if h % d == 0 and (d % 8 == 0 or d == h)]
+    for th in sorted(set(cands), reverse=True):
+        blocks = 2 * (_bytes((c, th, w), dtype) + _bytes((q, th, w), dtype))
+        acc = _bytes((q, th, w), jnp.float32)
+        if slab + blocks + acc <= _VMEM_BUDGET:
             return th
     return None
 
@@ -94,142 +88,101 @@ def fits_vmem(h: int, w: int, c: int, win: int, dilation: int,
     return pick_tile(h, w, c, win, dilation, dtype) is not None
 
 
-def _slab(hbm_ref, b, row0, rows, scratch, sem):
-    """DMA rows [row0, row0+rows) of hbm_ref[b] into scratch; blocking."""
-    dma = pltpu.make_async_copy(
-        hbm_ref.at[b, pl.ds(row0, rows)], scratch, sem)
-    dma.start()
-    dma.wait()
-
-
-def _fwd_kernel(disp, pad, th, ref_ref, framep_hbm, out_ref, scratch, sem):
+def _fwd_kernel(disp, pad, th, c, ref_ref, frame_hbm, out_ref,
+                slab, acc_ref, sem):
     b, i = pl.program_id(0), pl.program_id(1)
-    _slab(framep_hbm, b, i * th, th + 2 * pad, scratch, sem)
-    r = ref_ref[0].astype(jnp.float32)                 # (TH, W, C)
-    h, w = r.shape[0], r.shape[1]
-    c = r.shape[2]
-    for qi, (qy, qx) in enumerate(disp):
-        dy, dx = pad - int(qy), pad - int(qx)
-        sl = scratch[dy:dy + h, dx:dx + w, :c].astype(jnp.float32)
-        out_ref[0, :, :, qi] = jnp.sum(r * sl, axis=-1).astype(out_ref.dtype)
+
+    # the slab holds the full padded image of batch element b; refresh it
+    # only when b changes (i iterates fastest in the (b, i) grid)
+    @pl.when(i == 0)
+    def _():
+        dma = pltpu.make_async_copy(frame_hbm.at[b], slab, sem)
+        dma.start()
+        dma.wait()
+
+    base = pl.multiple_of(i * th, 8)  # sublane-aligned row base (th % 8 == 0)
+    q, h_t, w_t = out_ref.shape[1], out_ref.shape[2], out_ref.shape[3]
+    win_rows = th + 2 * pad
+    acc_ref[...] = jnp.zeros((q, h_t, w_t), jnp.float32)
+
+    def body(cc, carry):
+        r = ref_ref[0, cc].astype(jnp.float32)                  # (TH, W)
+        # aligned dynamic row window, then static halo subslices
+        f_full = slab[cc, pl.ds(base, win_rows), :].astype(jnp.float32)
+        for qi, (qy, qx) in enumerate(disp):
+            dy = pad - int(qy)
+            dx = pad - int(qx)
+            acc_ref[qi] += r * f_full[dy:dy + h_t, dx:dx + w_t]
+        return carry
+
+    jax.lax.fori_loop(0, c, body, 0)
+    out_ref[0] = acc_ref[...].astype(out_ref.dtype)
 
 
-def _dref_kernel(disp, pad, th, g_ref, framep_hbm, out_ref, scratch, sem):
-    b, i = pl.program_id(0), pl.program_id(1)
-    _slab(framep_hbm, b, i * th, th + 2 * pad, scratch, sem)
-    h, w, c = out_ref.shape[1], out_ref.shape[2], out_ref.shape[3]
-    acc = jnp.zeros(out_ref.shape[1:], jnp.float32)
-    for qi, (qy, qx) in enumerate(disp):
-        dy, dx = pad - int(qy), pad - int(qx)
-        sl = scratch[dy:dy + h, dx:dx + w, :c].astype(jnp.float32)
-        acc = acc + g_ref[0, :, :, qi].astype(jnp.float32)[..., None] * sl
-    out_ref[0] = acc.astype(out_ref.dtype)
-
-
-def _dframe_kernel(disp, pad, th, gp_hbm, refp_hbm, out_ref,
-                   g_scratch, r_scratch, gsem, rsem):
-    b, i = pl.program_id(0), pl.program_id(1)
-    _slab(gp_hbm, b, i * th, th + 2 * pad, g_scratch, gsem)
-    _slab(refp_hbm, b, i * th, th + 2 * pad, r_scratch, rsem)
-    h, w, c = out_ref.shape[1], out_ref.shape[2], out_ref.shape[3]
-    acc = jnp.zeros(out_ref.shape[1:], jnp.float32)
-    for qi, (qy, qx) in enumerate(disp):
-        dy, dx = pad + int(qy), pad + int(qx)
-        g = g_scratch[dy:dy + h, dx:dx + w, qi].astype(jnp.float32)
-        r = r_scratch[dy:dy + h, dx:dx + w, :c].astype(jnp.float32)
-        acc = acc + g[..., None] * r
-    out_ref[0] = acc.astype(out_ref.dtype)
-
-
-def _block(shape_tail, th):
-    """BlockSpec for a (B, H, W, K) operand tiled over (batch, row-slab)."""
-    return pl.BlockSpec((1, th) + tuple(shape_tail),
-                        lambda b, i: (b, i, 0, 0),
-                        memory_space=pltpu.VMEM)
-
-
-def _hbm_spec():
-    return pl.BlockSpec(memory_space=pltpu.ANY)
-
-
-def _cv_forward(ref, frame, win, dilation, fwd):
+def _cv_pallas_raw(ref, frame, win, dilation, fwd):
     b, h, w, c = ref.shape
     n = (win - 1) // 2
     pad = n * dilation
     th = pick_tile(h, w, c, win, dilation, ref.dtype)
     assert th is not None, "caller must gate on fits_vmem"
     disp = tuple(map(tuple, _displacements(win, dilation, fwd)))
-    padded, wp, cp = _pad_aligned(frame, pad)
-    return pl.pallas_call(
-        functools.partial(_fwd_kernel, disp, pad, th),
-        out_shape=jax.ShapeDtypeStruct((b, h, w, win * win), ref.dtype),
+    q = win * win
+
+    ref_cm = jnp.moveaxis(ref, -1, 1)                      # (B, C, H, W)
+    hp, wp = _slab_dims(h, w, pad)
+    frame_cm = jnp.moveaxis(frame, -1, 1)
+    frame_cm = jnp.pad(frame_cm, ((0, 0), (0, 0),
+                                  (pad, hp - h - pad),
+                                  (pad, wp - w - pad)))    # (B, C, Hp, Wp)
+
+    out_cm = pl.pallas_call(
+        functools.partial(_fwd_kernel, disp, pad, th, c),
+        out_shape=jax.ShapeDtypeStruct((b, q, h, w), ref.dtype),
         grid=(b, h // th),
-        in_specs=[_block((w, c), th), _hbm_spec()],
-        out_specs=_block((w, win * win), th),
+        in_specs=[
+            pl.BlockSpec((1, c, th, w), lambda bb, ii: (bb, 0, ii, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, q, th, w), lambda bb, ii: (bb, 0, ii, 0),
+                               memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((th + 2 * pad, wp, cp), ref.dtype),
+            pltpu.VMEM((c, hp, wp), ref.dtype),
+            pltpu.VMEM((q, th, w), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=_use_interpret(),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * h * w * c * win * win,
+            flops=2 * b * h * w * c * q,
             bytes_accessed=2 * ref.size * ref.dtype.itemsize
-            + b * h * w * win * win * ref.dtype.itemsize,
+            + b * h * w * q * ref.dtype.itemsize,
             transcendentals=0),
-    )(ref, padded)
+    )(ref_cm, frame_cm)
+    return jnp.moveaxis(out_cm, 1, -1)                     # (B, H, W, Q)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def cost_volume_pallas(ref: jax.Array, frame: jax.Array, win: int,
                        dilation: int = 1, fwd: bool = True) -> jax.Array:
     """Single-frame cost volume term (unnormalized), fused on TPU."""
-    return _cv_forward(ref, frame, win, dilation, fwd)
+    return _cv_pallas_raw(ref, frame, win, dilation, fwd)
 
 
 def _cv_fwd_rule(ref, frame, win, dilation, fwd):
-    return _cv_forward(ref, frame, win, dilation, fwd), (ref, frame)
+    return _cv_pallas_raw(ref, frame, win, dilation, fwd), (ref, frame)
 
 
 def _cv_bwd_rule(win, dilation, fwd, res, g):
+    """Backward through the (bilinear) op via XLA autodiff of the scan
+    implementation — exact, and fused well enough by XLA; a channels-major
+    Pallas backward is a later optimization."""
+    from .cost_volume import cost_volume
+
     ref, frame = res
-    b, h, w, c = ref.shape
-    n = (win - 1) // 2
-    pad = n * dilation
-    th = pick_tile(h, w, c, win, dilation, ref.dtype)
-    disp = tuple(map(tuple, _displacements(win, dilation, fwd)))
-    g = g.astype(ref.dtype)
-
-    framep, wp, cp = _pad_aligned(frame, pad)
-    d_ref = pl.pallas_call(
-        functools.partial(_dref_kernel, disp, pad, th),
-        out_shape=jax.ShapeDtypeStruct(ref.shape, ref.dtype),
-        grid=(b, h // th),
-        in_specs=[_block((w, win * win), th), _hbm_spec()],
-        out_specs=_block((w, c), th),
-        scratch_shapes=[
-            pltpu.VMEM((th + 2 * pad, wp, cp), ref.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=_use_interpret(),
-    )(g, framep)
-
-    gp, wp, qp = _pad_aligned(g, pad)
-    refp, _, cp = _pad_aligned(ref, pad)
-    d_frame = pl.pallas_call(
-        functools.partial(_dframe_kernel, disp, pad, th),
-        out_shape=jax.ShapeDtypeStruct(frame.shape, frame.dtype),
-        grid=(b, h // th),
-        in_specs=[_hbm_spec(), _hbm_spec()],
-        out_specs=_block((w, c), th),
-        scratch_shapes=[
-            pltpu.VMEM((th + 2 * pad, wp, qp), g.dtype),
-            pltpu.VMEM((th + 2 * pad, wp, cp), ref.dtype),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
-        ],
-        interpret=_use_interpret(),
-    )(gp, refp)
-    return d_ref, d_frame
+    _, vjp = jax.vjp(
+        lambda r, f: cost_volume(r, f, win, dilation=dilation, fwd=fwd),
+        ref, frame)
+    return vjp(g.astype(ref.dtype))
 
 
 cost_volume_pallas.defvjp(_cv_fwd_rule, _cv_bwd_rule)

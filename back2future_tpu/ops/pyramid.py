@@ -12,8 +12,11 @@
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def avg_pool2(x: jax.Array) -> jax.Array:
@@ -33,6 +36,43 @@ def upsample_nearest2x(x: jax.Array) -> jax.Array:
     return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
 
 
+@functools.lru_cache(maxsize=128)
+def _interp_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out, in) align-corners linear interpolation matrix (<=2 nnz/row)."""
+    pos = np.arange(out_size) * ((in_size - 1) / max(out_size - 1, 1))
+    i0 = np.floor(pos).astype(np.int64)
+    i1 = np.minimum(i0 + 1, in_size - 1)
+    fr = (pos - i0).astype(np.float32)
+    m = np.zeros((out_size, in_size), np.float32)
+    np.add.at(m, (np.arange(out_size), i0), 1.0 - fr)
+    np.add.at(m, (np.arange(out_size), i1), fr)
+    return m
+
+
+@functools.lru_cache(maxsize=128)
+def _nearest_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """(out, in) one-hot matrix, src = floor(dst*in/out) (torch 'simple')."""
+    idx = np.minimum((np.arange(out_size) * (in_size / out_size)).astype(np.int64),
+                     in_size - 1)
+    m = np.zeros((out_size, in_size), np.float32)
+    m[np.arange(out_size), idx] = 1.0
+    return m
+
+
+def _apply_axis_matrix(x: jax.Array, m: np.ndarray, axis: int) -> jax.Array:
+    """Resample along `axis` by the constant matrix `m` (out, in).
+
+    Sizes are static, so the resample is a small dense matmul with a
+    compile-time-constant (<=2 nnz/row) matrix — it runs on the MXU
+    instead of lowering to a (slow on TPU) gather."""
+    mj = jnp.asarray(m, x.dtype)
+    xm = jnp.moveaxis(x, axis, -1)
+    y = jax.lax.dot_general(
+        xm, mj, ((( xm.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    return jnp.moveaxis(y, -1, axis)
+
+
 def _axis_linear(x: jax.Array, out_size: int, axis: int) -> jax.Array:
     """Align-corners 1-D linear interpolation along `axis`."""
     in_size = x.shape[axis]
@@ -40,16 +80,7 @@ def _axis_linear(x: jax.Array, out_size: int, axis: int) -> jax.Array:
         return x
     if in_size == 1:
         return jnp.repeat(x, out_size, axis=axis)
-    pos = jnp.arange(out_size, dtype=jnp.float32) * ((in_size - 1) / max(out_size - 1, 1))
-    i0 = jnp.floor(pos).astype(jnp.int32)
-    i1 = jnp.minimum(i0 + 1, in_size - 1)
-    frac = (pos - i0).astype(x.dtype)
-    a = jnp.take(x, i0, axis=axis)
-    b = jnp.take(x, i1, axis=axis)
-    shape = [1] * x.ndim
-    shape[axis] = out_size
-    frac = frac.reshape(shape)
-    return a * (1 - frac) + b * frac
+    return _apply_axis_matrix(x, _interp_matrix(in_size, out_size), axis)
 
 
 def resize_bilinear(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
@@ -64,9 +95,8 @@ def upsample_bilinear2x(x: jax.Array) -> jax.Array:
 def resize_nearest(x: jax.Array, out_h: int, out_w: int) -> jax.Array:
     """Nearest resize with src = floor(dst * in/out) (torch 'simple')."""
     h, w = x.shape[1], x.shape[2]
-    ys = jnp.minimum((jnp.arange(out_h) * (h / out_h)).astype(jnp.int32), h - 1)
-    xs = jnp.minimum((jnp.arange(out_w) * (w / out_w)).astype(jnp.int32), w - 1)
-    return jnp.take(jnp.take(x, ys, axis=1), xs, axis=2)
+    x = _apply_axis_matrix(x, _nearest_matrix(h, out_h), 1)
+    return _apply_axis_matrix(x, _nearest_matrix(w, out_w), 2)
 
 
 def spatial_softmax(x: jax.Array) -> jax.Array:
