@@ -188,8 +188,16 @@ class PWCNet(nn.Module):
                     chain.append(avg_pool2(chain[-1]))
                 ds[f] = chain
 
-        # feature pyramids (shared weights across frames)
-        cs = {f: self._features(Is[f], levels) for f in range(f_i, l_i + 1)}
+        # feature pyramids: the weights are shared across frames (siamese),
+        # so run ONE conv chain over the frame-stacked batch and split —
+        # identical numerics, 3x larger conv batches (better MXU
+        # utilization for the small-channel early levels)
+        f_range = list(range(f_i, l_i + 1))
+        stacked = jnp.concatenate([Is[f] for f in f_range], axis=0)
+        css = self._features(stacked, levels)
+        n = x.shape[0]
+        cs = {f: {l: feat[k * n:(k + 1) * n] for l, feat in css.items()}
+              for k, f in enumerate(f_range)}
 
         ws: Dict[int, Dict[int, jax.Array]] = {f: {} for f in range(1, F + 1)}
         ufs: Dict[int, jax.Array] = {}

@@ -172,17 +172,154 @@ def _cv_fwd_rule(ref, frame, win, dilation, fwd):
     return _cv_pallas_raw(ref, frame, win, dilation, fwd), (ref, frame)
 
 
-def _cv_bwd_rule(win, dilation, fwd, res, g):
-    """Backward through the (bilinear) op via XLA autodiff of the scan
-    implementation — exact, and fused well enough by XLA; a channels-major
-    Pallas backward is a later optimization."""
-    from .cost_volume import cost_volume
+def _dref_kernel(disp, pad, th, c, g_ref, frame_hbm, out_ref, slab, sem):
+    """d_ref[b,y,x,c] = sum_q g[b,y,x,q] * frame[b, y-qy, x-qx, c]."""
+    b, i = pl.program_id(0), pl.program_id(1)
 
+    @pl.when(i == 0)
+    def _():
+        dma = pltpu.make_async_copy(frame_hbm.at[b], slab, sem)
+        dma.start()
+        dma.wait()
+
+    base = pl.multiple_of(i * th, 8)
+    h_t, w_t = out_ref.shape[2], out_ref.shape[3]
+    win_rows = th + 2 * pad
+
+    def body(cc, carry):
+        f_full = slab[cc, pl.ds(base, win_rows), :].astype(jnp.float32)
+        acc = jnp.zeros((h_t, w_t), jnp.float32)
+        for qi, (qy, qx) in enumerate(disp):
+            dy = pad - int(qy)
+            dx = pad - int(qx)
+            acc = acc + (g_ref[0, qi].astype(jnp.float32)
+                         * f_full[dy:dy + h_t, dx:dx + w_t])
+        out_ref[0, cc] = acc.astype(out_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, c, body, 0)
+
+
+def _dframe_kernel(disp, pad, th, c, gp_hbm, refp_hbm, out_ref,
+                   g_slab, r_slab, gsem, rsem):
+    """d_frame[b,y,x,c] = sum_q g[b,y+qy,x+qx,q] * ref[b,y+qy,x+qx,c]."""
+    b, i = pl.program_id(0), pl.program_id(1)
+
+    @pl.when(i == 0)
+    def _():
+        d1 = pltpu.make_async_copy(gp_hbm.at[b], g_slab, gsem)
+        d2 = pltpu.make_async_copy(refp_hbm.at[b], r_slab, rsem)
+        d1.start()
+        d2.start()
+        d1.wait()
+        d2.wait()
+
+    base = pl.multiple_of(i * th, 8)
+    h_t, w_t = out_ref.shape[2], out_ref.shape[3]
+    win_rows = th + 2 * pad
+
+    def body(cc, carry):
+        r_full = r_slab[cc, pl.ds(base, win_rows), :].astype(jnp.float32)
+        acc = jnp.zeros((h_t, w_t), jnp.float32)
+        for qi, (qy, qx) in enumerate(disp):
+            dy = pad + int(qy)
+            dx = pad + int(qx)
+            g_full = g_slab[qi, pl.ds(base, win_rows), :].astype(jnp.float32)
+            acc = acc + (g_full[dy:dy + h_t, dx:dx + w_t]
+                         * r_full[dy:dy + h_t, dx:dx + w_t])
+        out_ref[0, cc] = acc.astype(out_ref.dtype)
+        return carry
+
+    jax.lax.fori_loop(0, c, body, 0)
+
+
+def _bwd_tile(h: int, w: int, c: int, win: int, dilation: int,
+              dtype) -> Optional[int]:
+    """Row tile for the backward kernels (worst case: d_frame holds both
+    padded slabs)."""
+    p = (win - 1) // 2 * dilation
+    q = win * win
+    hp, wp = _slab_dims(h, w, p)
+    slabs = _bytes((q, hp, wp), dtype) + _bytes((c, hp, wp), dtype)
+    if slabs > _VMEM_BUDGET:
+        return None
+    cands = [d for d in range(1, h + 1)
+             if h % d == 0 and (d % 8 == 0 or d == h)]
+    for th in sorted(set(cands), reverse=True):
+        blocks = 2 * (_bytes((q, th, w), dtype) + _bytes((c, th, w), dtype))
+        if slabs + blocks + _bytes((th, w), jnp.float32) <= _VMEM_BUDGET:
+            return th
+    return None
+
+
+def _cv_bwd_rule(win, dilation, fwd, res, g):
     ref, frame = res
-    _, vjp = jax.vjp(
-        lambda r, f: cost_volume(r, f, win, dilation=dilation, fwd=fwd),
-        ref, frame)
-    return vjp(g.astype(ref.dtype))
+    b, h, w, c = ref.shape
+    n = (win - 1) // 2
+    pad = n * dilation
+    q = win * win
+    disp = tuple(map(tuple, _displacements(win, dilation, fwd)))
+    th = _bwd_tile(h, w, c, win, dilation, ref.dtype)
+
+    if th is None:
+        # explicit XLA transpose (the op is bilinear, so this is exact)
+        from .cost_volume import cost_volume
+
+        _, vjp = jax.vjp(
+            lambda r, f: cost_volume(r, f, win, dilation=dilation, fwd=fwd),
+            ref, frame)
+        return vjp(g.astype(ref.dtype))
+
+    hp, wp = _slab_dims(h, w, pad)
+    g_cm = jnp.moveaxis(g.astype(ref.dtype), -1, 1)        # (B, Q, H, W)
+
+    frame_cm = jnp.moveaxis(frame, -1, 1)
+    frame_cm = jnp.pad(frame_cm, ((0, 0), (0, 0), (pad, hp - h - pad),
+                                  (pad, wp - w - pad)))
+    d_ref_cm = pl.pallas_call(
+        functools.partial(_dref_kernel, disp, pad, th, c),
+        out_shape=jax.ShapeDtypeStruct((b, c, h, w), ref.dtype),
+        grid=(b, h // th),
+        in_specs=[
+            pl.BlockSpec((1, q, th, w), lambda bb, ii: (bb, 0, ii, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, c, th, w), lambda bb, ii: (bb, 0, ii, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((c, hp, wp), ref.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=_use_interpret(),
+    )(g_cm, frame_cm)
+
+    gp_cm = jnp.pad(g_cm, ((0, 0), (0, 0), (pad, hp - h - pad),
+                           (pad, wp - w - pad)))
+    ref_cm = jnp.moveaxis(ref, -1, 1)
+    refp_cm = jnp.pad(ref_cm, ((0, 0), (0, 0), (pad, hp - h - pad),
+                               (pad, wp - w - pad)))
+    d_frame_cm = pl.pallas_call(
+        functools.partial(_dframe_kernel, disp, pad, th, c),
+        out_shape=jax.ShapeDtypeStruct((b, c, h, w), frame.dtype),
+        grid=(b, h // th),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, c, th, w), lambda bb, ii: (bb, 0, ii, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((q, hp, wp), ref.dtype),
+            pltpu.VMEM((c, hp, wp), ref.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=_use_interpret(),
+    )(gp_cm, refp_cm)
+
+    return (jnp.moveaxis(d_ref_cm, 1, -1),
+            jnp.moveaxis(d_frame_cm, 1, -1))
 
 
 cost_volume_pallas.defvjp(_cv_fwd_rule, _cv_bwd_rule)
