@@ -54,15 +54,30 @@ def _gather(images, yi, xi):
     return images[bi, yi, xi]
 
 
+def _quad(images):
+    """(B,H,W,4C) neighborhood stack [self, right, down, diag] with
+    edge replication — right[y,x] = img[y, min(x+1, W-1)] etc., exactly
+    the clamped +1-corner indices of the warp. Lets ONE gather at
+    (y0, x0) fetch all four bilinear corners: TPU gathers are
+    per-index-bound, so this quarters the gather cost (and its transpose
+    becomes one scatter plus dense shift-adds)."""
+    right = jnp.concatenate([images[:, :, 1:], images[:, :, -1:]], axis=2)
+    down = jnp.concatenate([images[:, 1:], images[:, -1:]], axis=1)
+    diag = jnp.concatenate([right[:, 1:], right[:, -1:]], axis=1)
+    return jnp.concatenate([images, right, down, diag], axis=-1)
+
+
+def _gather_corners(images, y0, x0):
+    """-> (tl, tr, bl, br), each (B,H,W,C), via one quad gather."""
+    c = images.shape[-1]
+    g = _gather(_quad(images), y0, x0)
+    return g[..., :c], g[..., c:2 * c], g[..., 2 * c:3 * c], g[..., 3 * c:]
+
+
 def _warp_forward(images, flow):
     h, w = images.shape[1], images.shape[2]
     x0, y0, wx, wy, x1_in, y1_in = _corners(flow, h, w)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    tl = _gather(images, y0, x0)
-    tr = _gather(images, y0, x1)
-    bl = _gather(images, y1, x0)
-    br = _gather(images, y1, x1)
+    tl, tr, bl, br = _gather_corners(images, y0, x0)
     wx_ = wx[..., None]
     wy_ = wy[..., None]
     # clipped +1 corners have weight exactly 0, so no masking needed here
@@ -84,25 +99,25 @@ def _warp_bwd(res, g):
     g = g.astype(images.dtype)
     h, w = images.shape[1], images.shape[2]
     x0, y0, wx, wy, x1_in, y1_in = _corners(flow, h, w)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    y1 = jnp.minimum(y0 + 1, h - 1)
 
-    # image gradient: exact transpose of the (differentiable) forward gather
+    # image gradient: exact transpose of the (differentiable) forward —
+    # one quad scatter-add plus dense shift-adds (the _quad transpose)
     _, im_vjp = jax.vjp(lambda im: _warp_forward(im, flow), images)
     (d_images,) = im_vjp(g)
 
     # flow gradient: reference formula (BilinearSamplerBHWD.cu:232-295) —
     # per-corner dot products with gradOutput, out-of-bounds corners -> 0,
     # NO zeroing at clamped borders.
-    def dot(yi, xi, in_mask):
-        vals = _gather(images, yi, xi)
+    tl_v, tr_v, bl_v, br_v = _gather_corners(images, y0, x0)
+
+    def dot(vals, in_mask):
         d = jnp.sum(vals * g, axis=-1)
         return jnp.where(in_mask, d, 0.0)
 
-    tl = dot(y0, x0, jnp.ones_like(x1_in))
-    tr = dot(y0, x1, x1_in)
-    bl = dot(y1, x0, y1_in)
-    br = dot(y1, x1, x1_in & y1_in)
+    tl = dot(tl_v, jnp.ones_like(x1_in))
+    tr = dot(tr_v, x1_in)
+    bl = dot(bl_v, y1_in)
+    br = dot(br_v, x1_in & y1_in)
 
     dfx = -wy * tl + wy * tr - (1 - wy) * bl + (1 - wy) * br
     dfy = -wx * tl + wx * bl - (1 - wx) * tr + (1 - wx) * br
@@ -126,12 +141,7 @@ def _warp_autodiff(images, flow):
     wy = (1.0 - (yc - y0))[..., None]
     x0i = x0.astype(jnp.int32)
     y0i = y0.astype(jnp.int32)
-    x1 = jnp.minimum(x0i + 1, w - 1)
-    y1 = jnp.minimum(y0i + 1, h - 1)
-    tl = _gather(images, y0i, x0i)
-    tr = _gather(images, y0i, x1)
-    bl = _gather(images, y1, x0i)
-    br = _gather(images, y1, x1)
+    tl, tr, bl, br = _gather_corners(images, y0i, x0i)
     return wx * wy * tl + (1 - wx) * wy * tr + wx * (1 - wy) * bl + (1 - wx) * (1 - wy) * br
 
 
