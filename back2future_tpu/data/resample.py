@@ -11,7 +11,40 @@ Two modes matching the torch `image.scale` surface used by the reference
 
 from __future__ import annotations
 
+import ctypes
+
 import numpy as np
+
+_native = None
+
+
+def _native_lib():
+    """C++ OpenMP resampler (runtime/src/resample.cc); None -> NumPy."""
+    global _native
+    if _native is None:
+        from ..runtime import load_library
+
+        lib = load_library("resample")
+        if lib is not None:
+            fp = ctypes.POINTER(ctypes.c_float)
+            for fn in (lib.resize_bilinear_f32, lib.resize_nearest_f32):
+                fn.restype = None
+                fn.argtypes = [fp, fp] + [ctypes.c_int64] * 5
+        _native = (lib,)
+    return _native[0]
+
+
+def _resize_native(img: np.ndarray, out_h: int, out_w: int, mode: str):
+    lib = _native_lib()
+    if lib is None or img.dtype != np.float32:
+        return None
+    src = np.ascontiguousarray(img)
+    out = np.empty((out_h, out_w, img.shape[2]), np.float32)
+    fn = lib.resize_bilinear_f32 if mode == "bilinear" else lib.resize_nearest_f32
+    fp = ctypes.POINTER(ctypes.c_float)
+    fn(src.ctypes.data_as(fp), out.ctypes.data_as(fp),
+       src.shape[0], src.shape[1], src.shape[2], out_h, out_w)
+    return out
 
 
 def resize(img: np.ndarray, out_h: int, out_w: int, mode: str = "bilinear") -> np.ndarray:
@@ -24,6 +57,11 @@ def resize(img: np.ndarray, out_h: int, out_w: int, mode: str = "bilinear") -> n
     if (h, w) == (out_h, out_w):
         out = img.copy()
         return out[..., 0] if squeeze else out
+
+    if mode in ("bilinear", "simple"):
+        native = _resize_native(img, out_h, out_w, mode)
+        if native is not None:
+            return native[..., 0] if squeeze else native
 
     if mode == "simple":
         ys = np.minimum((np.arange(out_h) * (h / out_h)).astype(np.int64), h - 1)
