@@ -1,0 +1,60 @@
+"""End-to-end epoch-loop integration test (main.lua flow on toy data)."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from back2future_tpu.config import Options
+from back2future_tpu.data import SampleSpec, write_manifest
+from back2future_tpu.io.png16 import write_png
+from back2future_tpu.train.loop import run
+from back2future_tpu.utils import SymbolLogger
+
+
+@pytest.fixture(scope="module")
+def toy_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("toyloop")
+    (root / "datasets").mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(1, 8):
+        write_png(root / f"img_{i:02d}.png",
+                  (rng.random((40, 72, 3)) * 255).astype(np.uint8))
+    write_manifest(root / "datasets" / "toy.dat",
+                   [SampleSpec("[PATH]/img_%02d.png", None, r, 1)
+                    for r in (2, 3, 4, 5)])
+    (root / "datasets" / "toy_split.dat").write_text("1\n1\n2\n2\n")
+    return root
+
+
+def test_run_two_epochs_checkpoints_and_logs(toy_tree):
+    opt = Options(
+        dataset="toy", datasets_dir=str(toy_tree / "datasets"),
+        data_root=str(toy_tree), cache=str(toy_tree / "ckpt"),
+        expName="itest", optimize="pme", frames=3, levels=4,
+        compute_dtype="float32", cropHeight=32, cropWidth=64,
+        batchSize=2, epochSize=2, nEpochs=2, nDonkeys=0, epochStore=1,
+        nGPU=1,
+    ).derive(make_dirs=True)
+
+    state = run(opt)
+    assert int(state.step) == 4  # 2 epochs x 2 batches
+
+    save = Path(opt.save)
+    for e in (1, 2):
+        assert (save / f"model_{e}.msgpack").exists()
+        assert (save / f"optimState_{e}.msgpack").exists()
+    train_cols = SymbolLogger(save / "train.log").read()
+    assert len(train_cols["avg loss (train set)"]) == 2
+    test_cols = SymbolLogger(save / "test.log").read()
+    assert len(test_cols["avg loss (test set)"]) == 2
+    assert all(np.isfinite(v) for v in train_cols["avg loss (train set)"])
+
+    # -cont resume picks up after the last checkpoint
+    import dataclasses
+
+    opt2 = dataclasses.replace(opt, cont=True, nEpochs=3)
+    state2 = run(opt2)
+    assert int(state2.step) == 2  # one more epoch, fresh step counter
+    assert (save / "model_3.msgpack").exists()
