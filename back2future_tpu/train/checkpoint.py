@@ -48,16 +48,33 @@ def _host(tree):
 
 
 def save_checkpoint(save_dir: str | Path, state, opt: Options,
-                    epoch: int) -> Tuple[Path, Path]:
-    """Save model_<e>.msgpack + optimState_<e>.msgpack (+ options.json)."""
+                    epoch: int, backend: str = "msgpack") -> Tuple[Path, Path]:
+    """Save model_<e> + optimState_<e> (+ options.json sidecar).
+
+    backend='msgpack' (default): single flax-serialization files —
+    dependency-free and exactly mirrors the reference's paired
+    model/optimState artifacts (train.lua:179-185).
+    backend='orbax': orbax-checkpoint directories (async-capable,
+    multi-host-aware; the production choice for pod-scale runs)."""
     d = Path(save_dir)
     d.mkdir(parents=True, exist_ok=True)
+    (d / "options.json").write_text(opt.to_json())
+    optim_tree = {"opt_state": state.opt_state, "step": state.step,
+                  "epoch": epoch}
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        model_path = (d / f"model_{epoch}.orbax").resolve()
+        optim_path = (d / f"optimState_{epoch}.orbax").resolve()
+        ckptr = ocp.StandardCheckpointer()
+        ckptr.save(model_path, _host(state.params), force=True)
+        ckptr.save(optim_path, _host(optim_tree), force=True)
+        ckptr.wait_until_finished()
+        return model_path, optim_path
     model_path = d / f"model_{epoch}.msgpack"
     optim_path = d / f"optimState_{epoch}.msgpack"
     model_path.write_bytes(_to_bytes(_host(state.params)))
-    optim_path.write_bytes(_to_bytes(_host(
-        {"opt_state": state.opt_state, "step": state.step, "epoch": epoch})))
-    (d / "options.json").write_text(opt.to_json())
+    optim_path.write_bytes(_to_bytes(_host(optim_tree)))
     return model_path, optim_path
 
 
@@ -67,8 +84,8 @@ def latest_checkpoint(save_dir: str | Path) -> Tuple[Optional[Path], int]:
     best, best_e = None, 0
     d = Path(save_dir)
     if d.is_dir():
-        for p in d.glob("model_*.msgpack"):
-            m = re.fullmatch(r"model_(\d+)\.msgpack", p.name)
+        for p in d.glob("model_*"):
+            m = re.fullmatch(r"model_(\d+)\.(msgpack|orbax)", p.name)
             if m and int(m.group(1)) > best_e:
                 best, best_e = p, int(m.group(1))
     return best, best_e
@@ -90,12 +107,19 @@ def load_model_checkpoint(path: str | Path, opt: Optional[Options] = None):
     from ..models.pwc import PWCNet, pwc_config_from_options
 
     p = Path(path)
-    if p.is_dir():
+    # an .orbax checkpoint IS a directory; only scan non-checkpoint dirs
+    if p.is_dir() and p.suffix != ".orbax":
         p, _ = latest_checkpoint(p)
         if p is None:
-            raise FileNotFoundError(f"no model_<e>.msgpack under {path}")
+            raise FileNotFoundError(f"no model_<e> checkpoint under {path}")
     opt = opt or _load_options(p) or Options().derive()
     cfg = pwc_config_from_options(opt)
+
+    if p.suffix == ".orbax":
+        import orbax.checkpoint as ocp
+
+        params = ocp.StandardCheckpointer().restore(p.resolve())
+        return params, cfg
 
     # template tree for msgpack structure/dtype restoration
     model = PWCNet(cfg)
@@ -124,13 +148,22 @@ def load_train_checkpoint(save_dir: str | Path, opt: Options,
             raise FileNotFoundError(f"no checkpoints under {save_dir}")
     else:
         mp = d / f"model_{epoch}.msgpack"
+        if not mp.exists():
+            mp = d / f"model_{epoch}.orbax"
     params, _ = load_model_checkpoint(mp, opt)
 
     import jax.numpy as jnp
     tx = make_optimizer(opt, epoch)
     target = {"opt_state": tx.init(params),
               "step": jnp.zeros((), jnp.int32), "epoch": 0}
-    restored = _from_bytes(target, (d / f"optimState_{epoch}.msgpack").read_bytes())
+    if mp.suffix == ".orbax":
+        import orbax.checkpoint as ocp
+
+        restored = ocp.StandardCheckpointer().restore(
+            (d / f"optimState_{epoch}.orbax").resolve(), target)
+    else:
+        restored = _from_bytes(
+            target, (d / f"optimState_{epoch}.msgpack").read_bytes())
     state = TrainState(params=params, opt_state=restored["opt_state"],
                        step=jnp.asarray(restored["step"]), epoch=epoch)
     return state, epoch + 1

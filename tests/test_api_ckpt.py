@@ -168,3 +168,35 @@ class TestLogger:
         log.add({"a": 1.0})
         with pytest.raises(ValueError, match="unknown log symbols"):
             log.add({"b": 2.0})
+
+
+class TestOrbaxBackend:
+    def test_orbax_roundtrip(self, tmp_path):
+        pytest.importorskip("orbax.checkpoint")
+        opt = small_opt()
+        _, cfg, params = small_model_and_params(opt)
+        state = create_train_state(params, opt, epoch=2)
+        mp, op = save_checkpoint(tmp_path, state, opt, epoch=2,
+                                 backend="orbax")
+        assert mp.name == "model_2.orbax" and mp.is_dir()
+
+        params2, cfg2 = load_model_checkpoint(mp, opt)
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(params2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert cfg2.levels == cfg.levels
+
+        state2, next_epoch = load_train_checkpoint(tmp_path, opt)
+        assert next_epoch == 3
+        np.testing.assert_array_equal(np.asarray(state2.step),
+                                      np.asarray(state.step))
+
+    def test_latest_scan_mixed_backends(self, tmp_path):
+        pytest.importorskip("orbax.checkpoint")
+        opt = small_opt()
+        _, _, params = small_model_and_params(opt)
+        state = create_train_state(params, opt)
+        save_checkpoint(tmp_path, state, opt, epoch=1)
+        save_checkpoint(tmp_path, state, opt, epoch=4, backend="orbax")
+        p, e = latest_checkpoint(tmp_path)
+        assert e == 4 and p.suffix == ".orbax"
