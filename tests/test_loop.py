@@ -58,3 +58,48 @@ def test_run_two_epochs_checkpoints_and_logs(toy_tree):
     state2 = run(opt2)
     assert int(state2.step) == 2  # one more epoch, fresh step counter
     assert (save / "model_3.msgpack").exists()
+
+
+@pytest.fixture(scope="module")
+def toy_gt_tree(tmp_path_factory):
+    """Toy dataset WITH .flo ground truth + occ maps for the epe branch."""
+    from back2future_tpu.io.flow_io import write_disp, write_flo
+
+    root = tmp_path_factory.mktemp("toygt")
+    (root / "datasets").mkdir()
+    rng = np.random.default_rng(1)
+    h, w = 40, 72
+    for i in range(1, 7):
+        write_png(root / f"img_{i:02d}.png",
+                  (rng.random((h, w, 3)) * 255).astype(np.uint8))
+    for r in (2, 3, 4):
+        write_flo(root / f"flow_{r:02d}.flo",
+                  rng.standard_normal((h, w, 2)).astype(np.float32))
+        write_disp(root / f"flow_{r:02d}_occ_3.disp",
+                   np.full((h, w), 0.5, np.float32))
+    write_manifest(root / "datasets" / "toygt.dat",
+                   [SampleSpec("[PATH]/img_%02d.png", "[PATH]/flow_%02d.flo",
+                               r, 1) for r in (2, 3, 4)])
+    (root / "datasets" / "toygt_split.dat").write_text("1\n1\n2\n")
+    return root
+
+
+def test_run_supervised_epe_branch(toy_gt_tree):
+    """main.lua flow with -optimize epe: supervised losses + gt metrics."""
+    opt = Options(
+        dataset="toygt", datasets_dir=str(toy_gt_tree / "datasets"),
+        data_root=str(toy_gt_tree), cache=str(toy_gt_tree / "ckpt"),
+        expName="epe", optimize="epe", epe=1.0, frames=3, levels=4,
+        compute_dtype="float32", cropHeight=32, cropWidth=64,
+        batchSize=2, epochSize=2, nEpochs=1, nDonkeys=0, epochStore=1,
+        nGPU=1,
+    ).derive(make_dirs=True)
+    assert opt.ground_truth  # derived (opts.lua:146-148)
+
+    state = run(opt)
+    assert int(state.step) == 2
+    cols = SymbolLogger(Path(opt.save) / "train.log").read()
+    # supervised epoch summary carries the gt metric columns
+    assert "avg epe (train set)" in cols
+    assert "avg occ acc (train set)" in cols
+    assert all(np.isfinite(v) for v in cols["avg epe (train set)"])
