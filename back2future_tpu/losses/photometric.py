@@ -88,6 +88,19 @@ def _norms(cfg, target):
     return inner, size_norm
 
 
+
+
+def _occ_w(occ, f, ref):
+    """Occlusion weight channel for warped frame f, or 1.0 when the model
+    has no occlusion head (frames==2 / no_occ): the occlusion-aware
+    criterions then degrade to their unmasked (MBCC-style) behavior —
+    the reference would index a missing output and error
+    (OBCCriterion.lua:65)."""
+    if occ is None:
+        return None
+    return occ[..., _OCC_PAST if f <= ref else _OCC_FUTURE]
+
+
 # --------------------------------------------------------------------------
 # OBCC — occlusion-aware brightness constancy (criterions/OBCCriterion.lua)
 # --------------------------------------------------------------------------
@@ -105,9 +118,10 @@ def make_obcc(cfg: PhotoConfig, scale: float):
         for f in range(1, cfg.frames):
             img = warped[f - 1]
             photo = jnp.sum(p.apply(img - target), axis=-1)
-            ow = occ[..., _OCC_PAST if f <= ref else _OCC_FUTURE]
+            ow = _occ_w(occ, f, ref)
             m = masks[f]
-            acc = acc + photo * ow * m + (1.0 - m) * cfg.penalty_out
+            masked = photo * m if ow is None else photo * ow * m
+            acc = acc + masked + (1.0 - m) * cfg.penalty_out
         return jnp.sum(acc) * inner * size_norm
 
     if not cfg.reference_grads:
@@ -128,18 +142,21 @@ def make_obcc(cfg: PhotoConfig, scale: float):
         masks = _masks(cfg, flow, flow_past, scale, h, w)
         scale_all = g * inner * size_norm
 
-        d_occ = jnp.zeros_like(occ)
+        d_occ = None if occ is None else jnp.zeros_like(occ)
         d_warped = []
         for f in range(1, cfg.frames):
             img = warped[f - 1]
             ch = _OCC_PAST if f <= ref else _OCC_FUTURE
             m = masks[f]
-            photo = jnp.sum(p.apply(img - target), axis=-1)
-            # occ grad includes the out-of-image penalty constant
-            # (OBCCriterion.lua:180-190) — reference quirk
-            occ_g = photo * m + (1.0 - m) * cfg.penalty_out
-            d_occ = d_occ.at[..., ch].add(occ_g * scale_all)
-            gi = p.der(img - target) * m[..., None] * occ[..., ch][..., None]
+            if occ is not None:
+                photo = jnp.sum(p.apply(img - target), axis=-1)
+                # occ grad includes the out-of-image penalty constant
+                # (OBCCriterion.lua:180-190) — reference quirk
+                occ_g = photo * m + (1.0 - m) * cfg.penalty_out
+                d_occ = d_occ.at[..., ch].add(occ_g * scale_all)
+            gi = p.der(img - target) * m[..., None]
+            if occ is not None:
+                gi = gi * occ[..., ch][..., None]
             d_warped.append(gi * scale_all)
 
         zeros = lambda a: None if a is None else jnp.zeros_like(a)
@@ -184,9 +201,10 @@ def make_obgcc(cfg: PhotoConfig, scale: float):
             tmp = (jnp.sum(p.apply(diff), axis=-1)
                    + cfg.beta * jnp.sum(p.apply(bgx), axis=-1)
                    + cfg.gamma * jnp.sum(p.apply(bgy), axis=-1))
-            ow = occ[..., _OCC_PAST if f <= ref else _OCC_FUTURE]
+            ow = _occ_w(occ, f, ref)
             m = masks[f]
-            acc = acc + tmp * ow * m + (1.0 - m) * cfg.penalty_out
+            masked = tmp * m if ow is None else tmp * ow * m
+            acc = acc + masked + (1.0 - m) * cfg.penalty_out
         return jnp.sum(acc) * inner * size_norm
 
     if not cfg.reference_grads:
@@ -207,7 +225,7 @@ def make_obgcc(cfg: PhotoConfig, scale: float):
         masks = _masks(cfg, flow, flow_past, scale, h, w)
         scale_all = g * inner * size_norm
 
-        d_occ = jnp.zeros_like(occ)
+        d_occ = None if occ is None else jnp.zeros_like(occ)
         d_warped = []
         for f, (diff, bgx, bgy) in enumerate(_terms(warped, target), start=1):
             ch = _OCC_PAST if f <= ref else _OCC_FUTURE
@@ -218,7 +236,9 @@ def make_obgcc(cfg: PhotoConfig, scale: float):
             gi = cfg.alpha * p.der(diff) - dgy - dgx
             gi = gi.at[:, 1:].add(dgy[:, :-1])
             gi = gi.at[:, :, 1:].add(dgx[:, :, :-1])
-            gi = gi * m[..., None] * occ[..., ch][..., None]
+            gi = gi * m[..., None]
+            if occ is not None:
+                gi = gi * occ[..., ch][..., None]
             d_warped.append(gi * scale_all)
 
             # occlusion gradient with image-gradient transpose structure and
@@ -229,7 +249,8 @@ def make_obgcc(cfg: PhotoConfig, scale: float):
             ob = ob.at[:, 1:].add(sgy[:, :-1])
             ob = ob.at[:, :, 1:].add(sgx[:, :, :-1])
             ob = ob * m + (1.0 - m) * cfg.penalty_out
-            d_occ = d_occ.at[..., ch].add(ob * scale_all)
+            if occ is not None:
+                d_occ = d_occ.at[..., ch].add(ob * scale_all)
 
         zeros = lambda a: None if a is None else jnp.zeros_like(a)
         return (jnp.zeros_like(flow), zeros(flow_past), d_occ,
@@ -346,8 +367,9 @@ def _make_ssim(cfg: PhotoConfig, scale: float, occlusion_aware: bool):
                    + (1 - cfg.alpha) * jnp.sum(p.apply(img_n - target_n), axis=-1))
             m = masks[f]
             if occlusion_aware:
-                ow = occ[..., _OCC_PAST if f <= ref else _OCC_FUTURE]
-                tmp = tmp * ow * m + (1.0 - m) * cfg.penalty_out
+                ow = _occ_w(occ, f, ref)
+                tmp = (tmp * m if ow is None else tmp * ow * m) \
+                    + (1.0 - m) * cfg.penalty_out
             else:
                 tmp = tmp * m
             acc = acc + tmp

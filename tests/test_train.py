@@ -156,6 +156,36 @@ class TestTrainStepPME:
         assert float(comps["sflow"]) != 0 or True
         assert float(comps["sup_flow"]) == 0
 
+    def test_no_occ_variant(self):
+        """no_occ forces summed cost volumes and skips occ losses
+        (opts.lua:111-113; multiscale multi_occ gating)."""
+        opt = tiny_options(optimize="pme", no_occ=True)
+        assert opt.pwc_sum_cvs  # derived
+        model = tiny_model(opt)
+        batch = synthetic_batch(opt)
+        params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                     batch["images"])["params"]
+        crits = build_criterions(opt)
+        state = create_train_state(params, opt)
+        step = make_train_step(model, opt, crits, donate=False)
+        state, logs = step(state, batch)
+        assert np.isfinite(float(logs["loss"]))
+        assert float(logs["socc"]) == 0.0 and float(logs["gocc"]) == 0.0
+
+    def test_two_frame_variant(self):
+        """frames=2: single cost volume, no occlusion head."""
+        opt = tiny_options(optimize="pme", frames=2)
+        model = tiny_model(opt)
+        batch = synthetic_batch(opt)
+        assert batch["images"].shape[-1] == 6
+        params = jax.jit(model.init)(jax.random.PRNGKey(0),
+                                     batch["images"])["params"]
+        crits = build_criterions(opt)
+        state = create_train_state(params, opt)
+        step = make_train_step(model, opt, crits, donate=False)
+        state, logs = step(state, batch)
+        assert np.isfinite(float(logs["loss"]))
+
 
 class TestTrainStepEPE:
     def test_supervised_branch(self):
