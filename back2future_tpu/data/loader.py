@@ -7,10 +7,13 @@ dataLoader container (dataset.lua:19-157):
     `sample(q)` (uniform random with replacement, dataset.lua:123-138)
     and `get(i1, i2)` (sequential, dataset.lua:140-155) batch methods.
   * `PrefetchLoader` — a pool of `n_workers` host threads, each with an
-    independent `np.random.Generator` seeded `manual_seed + idx`
-    (data.lua:32-37), keeping a bounded queue of ready batches ahead of
-    the training loop; `n_workers=0` is the synchronous debug mode
-    (data.lua:39-44).
+    independent `np.random.Generator` seeded from
+    `(manual_seed, epoch, idx)` (the reference seeds donkeys once at
+    pool creation, data.lua:32-37, so successive epochs see fresh draws
+    from long-lived generators; here a fresh pool is built per epoch, so
+    an epoch counter is mixed into the seed to preserve that freshness),
+    keeping a bounded queue of ready batches ahead of the training loop;
+    `n_workers=0` is the synchronous debug mode (data.lua:39-44).
   * `device_prefetch` — overlaps host->device transfer with compute by
     keeping `depth` batches in flight on the mesh.
 
@@ -90,6 +93,10 @@ class PrefetchLoader:
         self.manual_seed = manual_seed
         self.sequential = sequential
         self.queue_depth = queue_depth
+        # Advanced once per __iter__ so re-iterating (one epoch = one
+        # iteration in train_epoch) yields fresh sample indices and
+        # augmentation draws instead of replaying epoch 0 forever.
+        self.epoch = 0
 
     def __len__(self) -> int:
         return self.n_batches
@@ -107,8 +114,10 @@ class PrefetchLoader:
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         jobs = self._jobs()
+        epoch = self.epoch
+        self.epoch += 1
         if self.n_workers == 0:  # synchronous debug mode (data.lua:39-44)
-            rng = np.random.default_rng(self.manual_seed)
+            rng = np.random.default_rng((self.manual_seed, epoch))
             for job in jobs:
                 yield self._run_job(job, rng)
             return
@@ -127,7 +136,7 @@ class PrefetchLoader:
             job_q.put((i, job))
 
         def worker(widx: int):
-            rng = np.random.default_rng(self.manual_seed + widx + 1)
+            rng = np.random.default_rng((self.manual_seed, epoch, widx + 1))
             while True:
                 try:
                     slot, job = job_q.get_nowait()

@@ -75,6 +75,54 @@ class TestManifest:
         assert load_manifest(p, ground_truth=False) == specs
 
 
+class TestShippedManifests:
+    """The repo ships the reference's real manifest set (datasets/);
+    validate the parser against them (donkey.lua:70-94; SURVEY §2.5)."""
+
+    DATASETS = None  # set in setup
+
+    @pytest.fixture(autouse=True)
+    def _dir(self):
+        from pathlib import Path
+        self.DATASETS = Path(__file__).resolve().parent.parent / "datasets"
+
+    def test_kitti2015(self):
+        specs = load_manifest(self.DATASETS / "Kitti2015.dat",
+                              ground_truth=False, root="/data/kitti")
+        assert len(specs) == 3000
+        assert specs[0].image_pattern == \
+            "/data/kitti/training/image_2/000000_%02d.png"
+        assert all(s.flow_pattern is None and s.skip == 1 for s in specs)
+        # 200 scenes x refs 1..15 (multiview window minus edges)
+        refs = {s.ref for s in specs}
+        assert min(refs) >= 1 and len(specs) % len(refs) == 0
+        # a 3-frame window resolves to existing-style %02d paths
+        assert specs[0].image_paths(3) == [
+            f"/data/kitti/training/image_2/000000_{i:02d}.png"
+            for i in specs[0].frame_indices(3)]
+        tr, va = load_split(self.DATASETS / "Kitti2015_split.dat")
+        assert len(tr) + len(va) == 3000 and len(va) > 0
+
+    def test_sintel(self):
+        specs = load_manifest(self.DATASETS / "Sintel.dat",
+                              ground_truth=True, root="/data/sintel")
+        assert len(specs) == 2036
+        s0 = specs[0]
+        assert s0.image_pattern == \
+            "/data/sintel/training/clean/alley_1/frame_%04d.png"
+        assert s0.flow_pattern == \
+            "/data/sintel/training/flow/alley_1/frame_%04d.flo"
+        assert s0.flow_path() == s0.flow_pattern % s0.ref
+        occ_n, occ_3 = s0.occ_paths(3)
+        assert occ_n.endswith("_occ_3.disp") and occ_3.endswith("_occ_3.disp")
+        tr, va = load_split(self.DATASETS / "Sintel_split.dat")
+        assert len(tr) + len(va) == 2036 and len(va) > 0
+
+    def test_roaming_split(self):
+        tr, va = load_split(self.DATASETS / "RoamingImages_split.dat")
+        assert len(tr) + len(va) == 80000
+
+
 # ------------------------------------------------------------------ photometric
 
 class TestPhotometric:
@@ -285,6 +333,22 @@ class TestLoader:
                               sequential=True)
         for a, b in zip(loader, sync):
             np.testing.assert_array_equal(a["images"], b["images"])
+
+    def test_epochs_draw_fresh_samples(self, toy_dataset):
+        """Re-iterating must NOT replay epoch 0's indices/augmentations
+        (the reference's long-lived donkeys see fresh draws each epoch,
+        data.lua:32-37)."""
+        ds = self._dataset(toy_dataset)
+        loader = PrefetchLoader(ds, batch_size=2, n_batches=3, n_workers=0,
+                                manual_seed=2)
+        e0 = [b["images"].copy() for b in loader]
+        e1 = [b["images"].copy() for b in loader]
+        assert any(not np.array_equal(a, b) for a, b in zip(e0, e1))
+        # ...but a fresh loader with the same seed replays deterministically
+        again = PrefetchLoader(ds, batch_size=2, n_batches=3, n_workers=0,
+                               manual_seed=2)
+        for a, b in zip(again, e0):
+            np.testing.assert_array_equal(a["images"], b)
 
     def test_worker_error_propagates(self, toy_dataset):
         ds = self._dataset(toy_dataset)
