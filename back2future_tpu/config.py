@@ -104,6 +104,10 @@ class Options:
     use_pallas: bool = True            # fused TPU kernels for warp/cost-volume
     reference_grads: bool = True       # replicate hand-written reference VJPs
     prefetch_depth: int = 2            # device prefetch depth for data loader
+    # Reference rebuilds optimState each epoch, resetting Adam moments
+    # (train.lua:112-121). False keeps moments across epochs (and makes
+    # -cont restore them from optimState_<e>).
+    adam_reset_per_epoch: bool = True
 
     # Filled in by `derive()`:
     save: str = ""
@@ -191,8 +195,14 @@ def parse_args(argv=None) -> Options:
         if f.type in ("bool", bool):
             parser.add_argument(f"--{f.name}", type=lambda s: s.lower() in ("1", "true", "yes"),
                                 default=default)
-        elif f.name in ("mesh_shape", "mesh_axes"):
-            continue
+        elif f.name == "mesh_shape":
+            parser.add_argument(
+                "--mesh_shape", default=default, metavar="N[,M...]",
+                type=lambda s: tuple(int(v) for v in s.split(",") if v))
+        elif f.name == "mesh_axes":
+            parser.add_argument(
+                "--mesh_axes", default=default, metavar="AX[,AX...]",
+                type=lambda s: tuple(v for v in s.split(",") if v))
         else:
             ftype = {"int": int, "float": float, "str": str}.get(str(f.type), str)
             parser.add_argument(f"--{f.name}", type=ftype, default=default)

@@ -25,9 +25,19 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     """Wire up multi-host JAX (no-op for single-process runs).
 
     With TPU pod environment variables present, bare
-    `jax.distributed.initialize()` autodetects everything."""
+    `jax.distributed.initialize()` autodetects everything.
+
+    An explicitly-requested multi-host launch (coordinator address given,
+    or pod env vars present) must NOT silently degrade to N independent
+    single-host runs — failures re-raise in that case."""
+    import os
+
     if jax.process_count() > 1:
         return  # already initialized
+    pod_env = any(os.environ.get(k) for k in
+                  ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
+                   "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES"))
+    explicit = coordinator_address is not None or pod_env
     try:
         if coordinator_address is None:
             jax.distributed.initialize()
@@ -35,7 +45,9 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
             jax.distributed.initialize(coordinator_address, num_processes,
                                        process_id)
     except Exception:
-        # single-host / no cluster env: stay local
+        if explicit:
+            raise
+        # no cluster was asked for and none detected: stay single-host
         pass
 
 

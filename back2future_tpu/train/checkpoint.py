@@ -47,6 +47,26 @@ def _host(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+# Shared async orbax checkpointers (AsyncCheckpointer serializes saves on
+# one instance, so model and optim each get their own to overlap): saves
+# proceed in background threads; wait_for_saves() drains in-flight writes.
+_ORBAX_CKPTRS: dict = {}
+
+
+def _orbax_checkpointer(key: str):
+    if key not in _ORBAX_CKPTRS:
+        import orbax.checkpoint as ocp
+
+        _ORBAX_CKPTRS[key] = ocp.StandardCheckpointer()  # AsyncCheckpointer
+    return _ORBAX_CKPTRS[key]
+
+
+def wait_for_saves() -> None:
+    """Block until all in-flight async (orbax) checkpoint writes land."""
+    for c in _ORBAX_CKPTRS.values():
+        c.wait_until_finished()
+
+
 def save_checkpoint(save_dir: str | Path, state, opt: Options,
                     epoch: int, backend: str = "msgpack") -> Tuple[Path, Path]:
     """Save model_<e> + optimState_<e> (+ options.json sidecar).
@@ -54,22 +74,22 @@ def save_checkpoint(save_dir: str | Path, state, opt: Options,
     backend='msgpack' (default): single flax-serialization files —
     dependency-free and exactly mirrors the reference's paired
     model/optimState artifacts (train.lua:179-185).
-    backend='orbax': orbax-checkpoint directories (async-capable,
-    multi-host-aware; the production choice for pod-scale runs)."""
+    backend='orbax': orbax-checkpoint directories (ASYNC: save() returns
+    once device arrays are snapshotted to host and the write continues in
+    a background thread — call wait_for_saves() before reading the files
+    back; multi-host-aware; the production choice for pod-scale runs)."""
     d = Path(save_dir)
     d.mkdir(parents=True, exist_ok=True)
     (d / "options.json").write_text(opt.to_json())
     optim_tree = {"opt_state": state.opt_state, "step": state.step,
                   "epoch": epoch}
     if backend == "orbax":
-        import orbax.checkpoint as ocp
-
         model_path = (d / f"model_{epoch}.orbax").resolve()
         optim_path = (d / f"optimState_{epoch}.orbax").resolve()
-        ckptr = ocp.StandardCheckpointer()
-        ckptr.save(model_path, _host(state.params), force=True)
-        ckptr.save(optim_path, _host(optim_tree), force=True)
-        ckptr.wait_until_finished()
+        _orbax_checkpointer("model").save(
+            model_path, _host(state.params), force=True)
+        _orbax_checkpointer("optim").save(
+            optim_path, _host(optim_tree), force=True)
         return model_path, optim_path
     model_path = d / f"model_{epoch}.msgpack"
     optim_path = d / f"optimState_{epoch}.msgpack"
@@ -118,6 +138,7 @@ def load_model_checkpoint(path: str | Path, opt: Optional[Options] = None):
     if p.suffix == ".orbax":
         import orbax.checkpoint as ocp
 
+        wait_for_saves()  # the file may still be landing asynchronously
         params = ocp.StandardCheckpointer().restore(p.resolve())
         return params, cfg
 
@@ -159,6 +180,7 @@ def load_train_checkpoint(save_dir: str | Path, opt: Options,
     if mp.suffix == ".orbax":
         import orbax.checkpoint as ocp
 
+        wait_for_saves()  # the file may still be landing asynchronously
         restored = ocp.StandardCheckpointer().restore(
             (d / f"optimState_{epoch}.orbax").resolve(), target)
     else:

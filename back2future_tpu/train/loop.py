@@ -27,7 +27,8 @@ from ..models.pwc import PWCNet, pwc_config_from_options
 from ..models.spynet import SPyNet, spynet_config_from_options
 from ..parallel.mesh import make_mesh, replicate
 from ..utils import SymbolLogger, StepTimer
-from .checkpoint import load_or_convert, save_checkpoint
+from .checkpoint import (load_or_convert, load_train_checkpoint,
+                         save_checkpoint, wait_for_saves)
 from .optim import lr_for_epoch
 from .state import TrainState, create_train_state
 from .step import make_eval_step, make_train_step
@@ -204,8 +205,18 @@ def run(opt: Options, max_epochs: Optional[int] = None) -> TrainState:
                      shape=opt.mesh_shape, axes=opt.mesh_axes)
     model = build_model(opt)
     crits = build_criterions(opt)
-    params, _cfg, epoch0 = load_or_convert(opt)
-    state = create_train_state(params, opt, epoch=epoch0)
+    state = None
+    if opt.cont and not opt.adam_reset_per_epoch:
+        # With persistent Adam moments, a resume must restore them from
+        # optimState_<e> (model.lua:51-130); with the reference's
+        # per-epoch reset they would be discarded at with_epoch anyway.
+        try:
+            state, epoch0 = load_train_checkpoint(opt.save, opt)
+        except FileNotFoundError:
+            state = None
+    if state is None:
+        params, _cfg, epoch0 = load_or_convert(opt)
+        state = create_train_state(params, opt, epoch=epoch0)
     state = state.replace(params=replicate(state.params, mesh),
                           opt_state=replicate(state.opt_state, mesh))
 
@@ -227,4 +238,5 @@ def run(opt: Options, max_epochs: Optional[int] = None) -> TrainState:
                            test_log)
             if epoch % opt.epochStore == 0:
                 save_checkpoint(opt.save, state, opt, epoch)
+    wait_for_saves()
     return state

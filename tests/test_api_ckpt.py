@@ -12,7 +12,7 @@ from back2future_tpu.config import Options
 from back2future_tpu.models.pwc import PWCConfig, PWCNet, pwc_config_from_options
 from back2future_tpu.train.checkpoint import (
     latest_checkpoint, load_model_checkpoint, load_or_convert,
-    load_train_checkpoint, save_checkpoint)
+    load_train_checkpoint, save_checkpoint, wait_for_saves)
 from back2future_tpu.train.state import create_train_state
 from back2future_tpu.utils import SymbolLogger
 
@@ -178,6 +178,7 @@ class TestOrbaxBackend:
         state = create_train_state(params, opt, epoch=2)
         mp, op = save_checkpoint(tmp_path, state, opt, epoch=2,
                                  backend="orbax")
+        wait_for_saves()  # orbax saves are async (train.lua:179-185 analog)
         assert mp.name == "model_2.orbax" and mp.is_dir()
 
         params2, cfg2 = load_model_checkpoint(mp, opt)
@@ -198,5 +199,6 @@ class TestOrbaxBackend:
         state = create_train_state(params, opt)
         save_checkpoint(tmp_path, state, opt, epoch=1)
         save_checkpoint(tmp_path, state, opt, epoch=4, backend="orbax")
+        wait_for_saves()
         p, e = latest_checkpoint(tmp_path)
         assert e == 4 and p.suffix == ".orbax"

@@ -59,6 +59,14 @@ def test_run_two_epochs_checkpoints_and_logs(toy_tree):
     assert int(state2.step) == 2  # one more epoch, fresh step counter
     assert (save / "model_3.msgpack").exists()
 
+    # -cont with persistent Adam moments restores the optimizer state and
+    # global step from optimState_<e> (model.lua:51-130)
+    opt3 = dataclasses.replace(opt, cont=True, nEpochs=4,
+                               adam_reset_per_epoch=False)
+    state3 = run(opt3)
+    assert int(state3.step) == 4  # resumed step counter (2) + 2 batches
+    assert (save / "model_4.msgpack").exists()
+
 
 @pytest.fixture(scope="module")
 def toy_gt_tree(tmp_path_factory):

@@ -71,7 +71,9 @@ def main(argv=None) -> None:
         idx = idx[:args.limit]
 
     ds = FlowDataset(specs, scfg, idx, train=False)
-    n_batches = len(ds) // args.batchSize
+    # ceil: the final partial batch is evaluated too (and weighted by its
+    # true size below) so the aggregate covers the whole split
+    n_batches = -(-len(ds) // args.batchSize)
     loader = PrefetchLoader(ds, args.batchSize, n_batches, n_workers=4,
                             sequential=True)
 
@@ -84,12 +86,15 @@ def main(argv=None) -> None:
             None if g0["occ"] is None else g0["occ"].astype("float32"),
             batch, cfg.flownet_factor, size_average=False)
 
-    rows = []
+    rows, weights = [], []
     for batch in loader:
         logs = metrics_step(params, batch)
         rows.append({k: float(v) for k, v in logs.items()})
-    agg = {k: float(np.mean([r[k] for r in rows])) for k in rows[0]}
-    agg["n_samples"] = n_batches * args.batchSize
+        weights.append(batch["images"].shape[0])
+    w = np.asarray(weights, np.float64)
+    agg = {k: float(np.average([r[k] for r in rows], weights=w))
+           for k in rows[0]}
+    agg["n_samples"] = int(w.sum())
     print(json.dumps(agg))
 
 

@@ -59,7 +59,6 @@ def sintel(root: str, render_pass: str = "clean"):
 
 def frames_dir(root: str, pattern: str, frames_window: int = 3,
                skip: int = 1):
-    rx = re.compile(re.escape(pattern) % r"(\d+)" if "%" in pattern else pattern)
     nums = []
     for p in sorted(Path(root).iterdir()):
         m = re.fullmatch(pattern.replace("%02d", r"(\d{2})")
