@@ -6,8 +6,10 @@ splatting followed by a 3x3 median filter. States: 0 = occluded backward
 
 The reference iterates pixels column-major with last-writer-wins z-buffer
 updates; that traversal order is part of the observable behavior, so the
-splatting stays an explicit loop (this is offline data preparation, not a
-training hot path).
+splatting is inherently sequential. `get_occ` dispatches to an exact-parity
+native port (runtime/src/getocc.cc, <100 ms per KITTI frame) and falls back
+to the pure-Python oracle `get_occ_reference` (minutes per frame — kept as
+the semantic specification and A/B-tested against the native path).
 """
 
 from __future__ import annotations
@@ -23,6 +25,35 @@ def _median_lower(vals: np.ndarray) -> float:
 
 def get_occ(depth: np.ndarray, flow: np.ndarray) -> np.ndarray:
     """depth (H, W); flow (H, W, 2) [u, v] -> occlusion (H, W) in {0, .5, 1}."""
+    native = _native_get_occ(depth, flow)
+    if native is not None:
+        return native
+    return get_occ_reference(depth, flow)
+
+
+def _native_get_occ(depth, flow):
+    import ctypes
+
+    from ..runtime import load_library
+
+    lib = load_library("getocc")
+    if lib is None:
+        return None
+    depth = np.ascontiguousarray(depth, np.float64)
+    flow = np.ascontiguousarray(flow, np.float64)
+    h, w = depth.shape
+    assert flow.shape == (h, w, 2), flow.shape
+    occ = np.empty((h, w), np.float64)
+    dptr = ctypes.POINTER(ctypes.c_double)
+    lib.get_occ_f64(depth.ctypes.data_as(dptr), flow.ctypes.data_as(dptr),
+                    occ.ctypes.data_as(dptr),
+                    ctypes.c_int64(h), ctypes.c_int64(w))
+    return occ
+
+
+def get_occ_reference(depth: np.ndarray, flow: np.ndarray) -> np.ndarray:
+    """Pure-Python oracle for get_occ (exact flowExtensions.lua:172-239
+    semantics; slow — for tests and spec only)."""
     depth = np.asarray(depth, np.float64)
     flow = np.asarray(flow, np.float64)
     h, w = depth.shape

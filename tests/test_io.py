@@ -143,6 +143,46 @@ class TestGetOcc:
         assert (occ[:, -1] == 1.0).all()   # rightmost column forward-occluded
         assert (occ[:, 0] == 0.0).all()    # leftmost column backward-occluded
 
+    def test_native_matches_reference_oracle(self):
+        """Native fast path (runtime/src/getocc.cc) must reproduce the
+        pure-Python loop bit-exactly, including z-buffer collision order
+        and the lower-median filter (flowExtensions.lua:172-239)."""
+        from back2future_tpu.io.occ import _native_get_occ, get_occ_reference
+        from back2future_tpu.runtime import native_available
+
+        if not native_available("getocc"):
+            pytest.skip("no native toolchain")
+        rng = np.random.default_rng(11)
+        for trial in range(4):
+            h, w = rng.integers(6, 20, size=2)
+            depth = rng.random((h, w)) * 10
+            flow = rng.normal(0, 3, size=(h, w, 2))
+            if trial == 2:
+                flow = np.round(flow)          # exercise exact-integer hits
+            if trial == 3:
+                depth = np.ones((h, w))        # ties: collision else-branch
+            ref = get_occ_reference(depth, flow)
+            nat = _native_get_occ(depth, flow)
+            np.testing.assert_array_equal(nat, ref)
+
+    def test_native_is_fast_at_kitti_resolution(self):
+        from back2future_tpu.io.occ import _native_get_occ
+        from back2future_tpu.runtime import native_available
+
+        if not native_available("getocc"):
+            pytest.skip("no native toolchain")
+        import time
+
+        rng = np.random.default_rng(0)
+        depth = rng.random((375, 1242)) * 50
+        flow = rng.normal(0, 10, size=(375, 1242, 2))
+        t0 = time.perf_counter()
+        occ = _native_get_occ(depth, flow)
+        dt = time.perf_counter() - t0
+        assert occ.shape == (375, 1242)
+        assert set(np.unique(occ)) <= {0.0, 0.5, 1.0}
+        assert dt < 1.0, f"native get_occ too slow: {dt:.3f}s"
+
 
 class TestRotateFlow:
     def test_identity(self):
