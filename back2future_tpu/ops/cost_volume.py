@@ -43,9 +43,13 @@ def cost_volume(ref: jax.Array, frame: jax.Array, win: int, dilation: int = 1,
     final normalization)."""
     if ref.shape != frame.shape:
         raise ValueError(f"shape mismatch {ref.shape} vs {frame.shape}")
-    if use_pallas and jax.default_backend() == "tpu":
-        # only on real TPU: the CPU fallback would run the kernel in the
-        # (slow) interpreter; the XLA path is the CPU reference anyway
+    import os
+    if use_pallas and (jax.default_backend() == "tpu"
+                       or os.environ.get("B2F_FORCE_PALLAS")):
+        # only on real TPU by default: the CPU fallback would run the
+        # kernel in the (slow) interpreter; the XLA path is the CPU
+        # reference anyway. B2F_FORCE_PALLAS=1 forces the kernel path
+        # (interpret mode off-TPU) for SPMD-composition tests.
         from .cost_volume_pallas import cost_volume_pallas, fits_vmem
         b, h, w, c = ref.shape
         if fits_vmem(h, w, c, win, dilation, ref.dtype):

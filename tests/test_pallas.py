@@ -113,3 +113,50 @@ class TestDispatch:
         want = cost_volume(ref, frame, win=3)
         np.testing.assert_allclose(np.asarray(out), np.asarray(want),
                                    rtol=1e-6)
+
+
+class TestSPMDComposition:
+    """pallas_call must compose with pjit auto-sharding over the test
+    mesh (the dryrun's data x spatial layout): GSPMD has no partitioning
+    rule for the kernel's custom-call, so this guards the resharding it
+    inserts around it staying correct, forward AND backward."""
+
+    def _mesh(self):
+        from jax.sharding import Mesh
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs the 8-device CPU mesh")
+        return Mesh(np.array(devs[:8]).reshape(4, 2), ("data", "spatial"))
+
+    def test_sharded_forward_and_grads_match_xla(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = self._mesh()
+        ref, frame = arrs(b=8, h=16, w=128, c=8)
+        s = NamedSharding(mesh, P("data", "spatial", None, None))
+        ref_s = jax.device_put(ref, s)
+        frame_s = jax.device_put(frame, s)
+
+        def loss_pallas(r, f):
+            w = jnp.cos(jnp.arange(r.shape[1] * r.shape[2], dtype=r.dtype)
+                        ).reshape(1, r.shape[1], r.shape[2], 1)
+            return (cost_volume_pallas(r, f, 3, 1, True) * w).sum()
+
+        def loss_xla(r, f):
+            w = jnp.cos(jnp.arange(r.shape[1] * r.shape[2], dtype=r.dtype)
+                        ).reshape(1, r.shape[1], r.shape[2], 1)
+            return (cost_volume(r, f, 3, dilation=1, fwd=True) * w).sum()
+
+        with mesh:
+            out = jax.jit(
+                lambda r, f: cost_volume_pallas(r, f, 3, 1, True)
+            )(ref_s, frame_s)
+            gr, gf = jax.jit(jax.grad(loss_pallas, (0, 1)))(ref_s, frame_s)
+        want = cost_volume(ref, frame, 3, dilation=1, fwd=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+        wr, wf = jax.grad(loss_xla, (0, 1))(ref, frame)
+        np.testing.assert_allclose(np.asarray(gr), np.asarray(wr),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(wf),
+                                   rtol=1e-4, atol=1e-4)
