@@ -238,5 +238,10 @@ def run(opt: Options, max_epochs: Optional[int] = None) -> TrainState:
                            test_log)
             if epoch % opt.epochStore == 0:
                 save_checkpoint(opt.save, state, opt, epoch)
+            for log in (train_log, test_log):  # myLogger.lua:137-192
+                try:
+                    log.plot()
+                except (ValueError, FileNotFoundError):
+                    pass  # empty log (e.g. no val split yet)
     wait_for_saves()
     return state

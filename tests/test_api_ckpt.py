@@ -202,3 +202,23 @@ class TestOrbaxBackend:
         wait_for_saves()
         p, e = latest_checkpoint(tmp_path)
         assert e == 4 and p.suffix == ".orbax"
+
+
+class TestLoggerPlot:
+    def test_plot_svg(self, tmp_path):
+        log = SymbolLogger(tmp_path / "train.log")
+        log.style({"EPE": "+"})
+        for e in range(5):
+            log.add({"avg loss (train set)": 10.0 / (e + 1), "EPE": 3.0 - e * 0.2})
+        out = log.plot()
+        svg = out.read_text()
+        assert out.suffix == ".svg"
+        assert "polyline" in svg and "circle" in svg
+        assert "avg loss (train set)" in svg and "EPE" in svg
+
+    def test_plot_empty_raises(self, tmp_path):
+        log = SymbolLogger(tmp_path / "x.log")
+        log.add({"a": 1.0})
+        (tmp_path / "x.log").write_text("a\n")
+        with pytest.raises((ValueError, FileNotFoundError)):
+            SymbolLogger(tmp_path / "empty.log").plot()
