@@ -105,6 +105,25 @@ class TestWarpGrads:
             fd = (loss(jnp.asarray(fp)) - loss(jnp.asarray(fm))) / (2 * eps)
             assert d[0, y, x, ch] == pytest.approx(float(fd), rel=1e-2, abs=1e-3)
 
+    def test_image_grad_matmul_matches_scatter(self, monkeypatch):
+        """The two-hot MXU transpose (_d_images_matmul) must agree with the
+        quad scatter-add transpose exactly, including flows that clamp far
+        outside the image."""
+        from back2future_tpu.ops import warp as warp_mod
+
+        img = rng_array((2, 9, 13, 5), seed=30)
+        flow = rng_array((2, 9, 13, 2), seed=31, scale=25.0)  # mostly OOB
+        g = rng_array((2, 9, 13, 5), seed=32)
+
+        def d_img(fl):
+            return jax.grad(lambda im: jnp.sum(
+                warp_bilinear(im, jnp.asarray(fl)) * g))(jnp.asarray(img))
+
+        d_matmul = np.asarray(d_img(flow))
+        monkeypatch.setattr(warp_mod, "_MATMUL_DIMG_MAX_MACS", 0)
+        d_scatter = np.asarray(d_img(flow))
+        np.testing.assert_allclose(d_matmul, d_scatter, atol=1e-4)
+
     def test_flow_grad_alive_at_clamped_border(self):
         """Reference backward keeps a finite-difference gradient where the
         coordinate clamps at the border; autodiff-of-clip kills it."""

@@ -38,13 +38,27 @@ def summarize(trace_dir: str, top: int = 25) -> None:
         dev = set(pids)
     tot = collections.Counter()
     cnt = collections.Counter()
+    meta = {}
+    cat = collections.Counter()
     for e in events:
         if e.get("ph") == "X" and e.get("pid") in dev:
             tot[e["name"]] += e.get("dur", 0)
             cnt[e["name"]] += 1
+            args = e.get("args", {})
+            if e["name"] not in meta:
+                meta[e["name"]] = args
+            cat[args.get("hlo_category", "?")] += e.get("dur", 0)
+    print("device time by HLO category (total ms across iterations):")
+    for name, us in cat.most_common():
+        print(f"  {us/1000:9.2f} ms  {name}")
     print(f"top {top} device ops (total ms across profiled iterations):")
     for name, us in tot.most_common(top):
-        print(f"  {us/1000:9.2f} ms x{cnt[name]:5d}  {name[:80]}")
+        args = meta.get(name, {})
+        long = args.get("long_name", "")
+        # "%fusion.7 = bf16[194560,128]{...} fusion(bf16[8,80,304,128]{...}"
+        sig = " ".join(p.split("{")[0] for p in long.split(" ") if "[" in p)[:90]
+        print(f"  {us/1000:9.2f} ms x{cnt[name]:5d}  {name[:40]:40s} "
+              f"{args.get('hlo_category', ''):22s} {sig}")
 
 
 def main(argv=None) -> None:
