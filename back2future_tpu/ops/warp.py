@@ -115,30 +115,52 @@ def _warp_fwd(images, flow):
 
 # Budgets for the two-hot matmul transpose (see _d_images_matmul): per
 # batch element, MACs = P*H*W*C and the expanded intermediate holds
-# P*H*C elements. Above these the per-index XLA scatter wins (or the
-# intermediate would not fit); feature-map warps sit far below, full-res
-# image warps far above.
-_MATMUL_DIMG_MAX_MACS = 32 * 1024 ** 3
-_MATMUL_DIMG_MAX_T_ELEMS = 96 * 1024 ** 2
+# P*H*C elements. Disabled by default: measured on v5e, the XLA scatter
+# runs at ~10 ns/index (1.3 ms for the level-3 feature warp at 320x640
+# crops) while this path pays ~3x the expanded intermediate's HBM
+# traffic (~4.5 ms) — the scatter wins at every shape the model uses.
+# Kept as the reference implementation for the fused Pallas transpose
+# kernel, which performs the same contraction VMEM-resident.
+_MATMUL_DIMG_MAX_MACS = 0
+_MATMUL_DIMG_MAX_T_ELEMS = 0
+
+
+@functools.lru_cache(maxsize=1)
+def _wp():
+    from . import warp_pallas
+
+    return warp_pallas
+
+
+def _pallas_dimg_enabled() -> bool:
+    """Opt-in only (B2F_FORCE_PALLAS): measured on v5e, the fused two-hot
+    transpose kernel is VPU-bound on its (P, H*C) expansion and loses to
+    the XLA scatter at every model shape (3.6 vs 2.7 ms for the level-3
+    feature-warp pair at 320x640) — the scatter's ~10 ns/index is near
+    the DMA-descriptor-rate floor. The kernel is kept as working evidence
+    of the formulation and for hardware where scatters are slower."""
+    import os
+
+    return bool(os.environ.get("B2F_FORCE_PALLAS"))
 
 
 def _d_images_matmul(g, y0, x0, wx, wy, h, w):
     """Image gradient of the warp as a two-hot MXU contraction.
 
-    The transpose of the bilinear gather is a scatter-add, which XLA
-    lowers to a per-index loop (~70 ns/index on v5e — the dominant cost
-    of the train step's feature-warp backwards). But the bilinear splat
-    weights factorize per axis (w_tl = wy*wx etc.), so the exact
-    transpose is
+    The transpose of the bilinear gather is a scatter-add. The bilinear
+    splat weights factorize per axis (w_tl = wy*wx etc.), so the exact
+    transpose is also expressible as
 
         d_img[r, X, c] = sum_p OHr[p, r] * OHX[p, X] * g[p, c]
 
     with OHr the row "two-hot" (wy at y0, 1-wy at y0+1) and OHX the
-    column two-hot — one large matmul the MXU eats in tens of
-    microseconds. Exact for unbounded flow: out-of-range +1 corners have
-    weight exactly 0 and match no one-hot column. g is (B,H,W,C) with
-    the SAME spatial dims as the source here (warp output size = input
-    size), so p ranges over H*W.
+    column two-hot. Exact for unbounded flow: out-of-range +1 corners
+    have weight exactly 0 and match no one-hot column. g is (B,H,W,C)
+    with the SAME spatial dims as the source here (warp output size =
+    input size), so p ranges over H*W. In XLA this materializes the
+    (P, H*C) expansion through HBM and loses to the scatter (see budget
+    note above); the Pallas kernel in warp_pallas.py keeps the expansion
+    VMEM-resident, which is where the formulation wins.
     """
     b, ho, wo, c = g.shape
     dt = g.dtype
@@ -170,7 +192,9 @@ def _warp_bwd(res, g):
 
     # image gradient: exact transpose of the (differentiable) forward
     p = g.shape[1] * g.shape[2]
-    if (p * h * w * c <= _MATMUL_DIMG_MAX_MACS
+    if _pallas_dimg_enabled() and _wp().fits(h, w, c, g.dtype):
+        d_images = _wp().d_images_pallas(g, y0, x0, wy, wx, h, w)
+    elif (p * h * w * c <= _MATMUL_DIMG_MAX_MACS
             and p * h * c <= _MATMUL_DIMG_MAX_T_ELEMS):
         d_images = _d_images_matmul(g, y0, x0, wx, wy, h, w)
     else:

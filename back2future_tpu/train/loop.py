@@ -135,19 +135,34 @@ def train_epoch(epoch: int, state: TrainState, step, loader, mesh, opt,
     rows = []
     timer = StepTimer()
     t0 = time.time()
+
+    def drain(pending):
+        """Fetch a queued step's logs (ONE host transfer) and print its
+        console line. Deferring this by one step overlaps the device's
+        step i+1 with the host-side fetch/format of step i — the per-step
+        sync would otherwise serialize device and host (train.lua syncs
+        every batch; the relay makes that expensive)."""
+        i, logs = pending
+        logs = {k: float(v) for k, v in zip(logs, jax.device_get(
+            list(logs.values())))}
+        timer.step_done()
+        rows.append(logs)
+        if verbose:
+            print(_fmt_console(epoch, i + 1, len(loader), timer, logs, lr))
+
+    pending = None
     for i, batch in enumerate(
             device_prefetch(iter(loader), mesh, depth=opt.prefetch_depth)):
         timer.data_loaded()
         state, logs = step(state, batch)
-        jax.block_until_ready(logs["loss"])
-        timer.step_done()
-        logs = {k: float(v) for k, v in logs.items()}
-        rows.append(logs)
-        if verbose:
-            print(_fmt_console(epoch, i + 1, len(loader), timer, logs, lr))
+        if pending is not None:
+            drain(pending)
+        pending = (i, logs)
         if opt.debug == 1 and model is not None:
             _debug_dump(opt.save, epoch, i, model, state.params, batch,
                         opt.frames)
+    if pending is not None:
+        drain(pending)
 
     means = _epoch_means(rows)
     summary = {"avg loss (train set)": means["loss"]}
@@ -175,12 +190,15 @@ def eval_epoch(epoch: int, state: TrainState, eval_step, loader, mesh, opt,
     """Validation epoch (test.lua:33-95)."""
     import jax
 
-    rows = []
+    handles = []
     t0 = time.time()
     for batch in device_prefetch(iter(loader), mesh, depth=opt.prefetch_depth):
-        logs = eval_step(state.params, batch)
-        jax.block_until_ready(logs["loss"])
-        rows.append({k: float(v) for k, v in logs.items()})
+        # queue every eval step; fetch all log scalars in one transfer at
+        # the end (no per-batch device sync)
+        handles.append(eval_step(state.params, batch))
+    rows = [{k: float(v) for k, v in zip(h, vals)}
+            for h, vals in zip(handles, jax.device_get(
+                [list(h.values()) for h in handles]))]
     means = _epoch_means(rows)
     summary = {"avg loss (test set)": means["loss"]}
     if "epe" in means:

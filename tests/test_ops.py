@@ -119,9 +119,10 @@ class TestWarpGrads:
             return jax.grad(lambda im: jnp.sum(
                 warp_bilinear(im, jnp.asarray(fl)) * g))(jnp.asarray(img))
 
-        d_matmul = np.asarray(d_img(flow))
-        monkeypatch.setattr(warp_mod, "_MATMUL_DIMG_MAX_MACS", 0)
         d_scatter = np.asarray(d_img(flow))
+        monkeypatch.setattr(warp_mod, "_MATMUL_DIMG_MAX_MACS", 1 << 60)
+        monkeypatch.setattr(warp_mod, "_MATMUL_DIMG_MAX_T_ELEMS", 1 << 60)
+        d_matmul = np.asarray(d_img(flow))
         np.testing.assert_allclose(d_matmul, d_scatter, atol=1e-4)
 
     def test_flow_grad_alive_at_clamped_border(self):

@@ -160,3 +160,39 @@ class TestSPMDComposition:
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(gf), np.asarray(wf),
                                    rtol=1e-4, atol=1e-4)
+
+
+class TestWarpDImagesKernel:
+    """Fused two-hot transpose (warp_pallas.d_images_pallas) vs the
+    scatter-based transpose, in interpret mode."""
+
+    def _d_images(self, img, flow, g, force_pallas, monkeypatch):
+        from back2future_tpu.ops import warp as warp_mod
+
+        if force_pallas:
+            monkeypatch.setenv("B2F_FORCE_PALLAS", "1")
+        else:
+            monkeypatch.setattr(warp_mod, "_pallas_dimg_enabled", lambda: False)
+        return np.asarray(jax.grad(lambda im: jnp.sum(
+            warp_mod.warp_bilinear(im, flow) * g))(img))
+
+    @pytest.mark.parametrize("shape", [(2, 8, 16, 4), (1, 12, 8, 3)])
+    def test_matches_scatter(self, shape, monkeypatch):
+        rng = np.random.default_rng(3)
+        b, h, w, c = shape
+        img = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        flow = jnp.asarray((rng.standard_normal((b, h, w, 2)) * 6).astype(np.float32))
+        g = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        want = self._d_images(img, flow, g, False, monkeypatch)
+        got = self._d_images(img, flow, g, True, monkeypatch)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_far_out_of_bounds_flow(self, monkeypatch):
+        rng = np.random.default_rng(4)
+        shape = (1, 8, 8, 2)
+        img = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        flow = jnp.asarray((rng.standard_normal((1, 8, 8, 2)) * 40).astype(np.float32))
+        g = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        want = self._d_images(img, flow, g, False, monkeypatch)
+        got = self._d_images(img, flow, g, True, monkeypatch)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
