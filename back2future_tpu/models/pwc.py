@@ -54,15 +54,11 @@ def _pin_img(t):
     identical."""
     import os
 
-    if jax.default_backend() != "tpu" or os.environ.get("B2F_IMG_LAYOUT") == "none":
-        return t
-    try:
-        from jax.experimental import layout as jlayout
+    from ..ops.layout import pin_layout
 
-        return jlayout.with_layout_constraint(
-            t, jlayout.Layout(major_to_minor=(0, 3, 1, 2)))
-    except Exception:  # pragma: no cover - experimental API
+    if os.environ.get("B2F_IMG_LAYOUT", "").strip().lower() == "none":
         return t
+    return pin_layout(t, (0, 3, 1, 2))
 
 
 @dataclasses.dataclass(frozen=True)

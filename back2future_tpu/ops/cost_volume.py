@@ -43,9 +43,9 @@ def cost_volume(ref: jax.Array, frame: jax.Array, win: int, dilation: int = 1,
     final normalization)."""
     if ref.shape != frame.shape:
         raise ValueError(f"shape mismatch {ref.shape} vs {frame.shape}")
-    import os
+    from .layout import env_flag
     if use_pallas and (jax.default_backend() == "tpu"
-                       or os.environ.get("B2F_FORCE_PALLAS")):
+                       or env_flag("B2F_FORCE_PALLAS")):
         # only on real TPU by default: the CPU fallback would run the
         # kernel in the (slow) interpreter; the XLA path is the CPU
         # reference anyway. B2F_FORCE_PALLAS=1 forces the kernel path

@@ -48,22 +48,22 @@ def _corners(flow, h, w):
 
 
 def _pin_row_major(x):
-    """Pin a gather operand to row-major layout on TPU.
+    """Optionally pin a gather operand to row-major layout on TPU.
 
-    XLA's layout assignment propagates the batch-minor {0,3,2,1} layout
-    of conv/pool producers into the warp gather's operand, making every
-    gathered row a strided access (~1.5x slower per index, measured on
-    v5e). A row-major copy costs one HBM pass and the constraint is a
-    no-op when the layout already matches."""
-    if jax.default_backend() != "tpu":
-        return x
-    try:
-        from jax.experimental import layout as L
+    Two measured-and-conflicting effects on v5e: a row-major operand
+    makes each gathered row contiguous (~1.5x faster per index in the
+    train step, where the quad stack is materialized for the backward
+    anyway), but in the inference forward the constraint blocks XLA from
+    fusing the quad build into the gather (-25% throughput). Gated by
+    B2F_GATHER_LAYOUT: "rowmajor" pins, anything falsy ("none"/unset)
+    leaves layout assignment alone — the measured default."""
+    import os
 
-        return L.with_layout_constraint(
-            x, L.Layout(major_to_minor=tuple(range(x.ndim))))
-    except Exception:  # pragma: no cover - layout API is experimental
+    from .layout import pin_layout
+
+    if os.environ.get("B2F_GATHER_LAYOUT", "").strip().lower() != "rowmajor":
         return x
+    return pin_layout(x, tuple(range(x.ndim)))
 
 
 def _gather(images, yi, xi):
@@ -139,9 +139,9 @@ def _pallas_dimg_enabled() -> bool:
     feature-warp pair at 320x640) — the scatter's ~10 ns/index is near
     the DMA-descriptor-rate floor. The kernel is kept as working evidence
     of the formulation and for hardware where scatters are slower."""
-    import os
+    from .layout import env_flag
 
-    return bool(os.environ.get("B2F_FORCE_PALLAS"))
+    return env_flag("B2F_FORCE_PALLAS")
 
 
 def _d_images_matmul(g, y0, x0, wx, wy, h, w):

@@ -36,8 +36,13 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
         return  # already initialized
     pod_env = any(os.environ.get(k) for k in
                   ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
-                   "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES"))
-    explicit = coordinator_address is not None or pod_env
+                   "MEGASCALE_COORDINATOR_ADDRESS"))
+    # TPU_WORKER_HOSTNAMES is set (with a single entry) on single-host
+    # TPU VMs too; only treat it as a multi-host request when it names
+    # more than one worker.
+    workers = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    multi_worker = len([w for w in workers.split(",") if w.strip()]) > 1
+    explicit = coordinator_address is not None or pod_env or multi_worker
     try:
         if coordinator_address is None:
             jax.distributed.initialize()

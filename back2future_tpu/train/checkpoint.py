@@ -77,7 +77,15 @@ def save_checkpoint(save_dir: str | Path, state, opt: Options,
     backend='orbax': orbax-checkpoint directories (ASYNC: save() returns
     once device arrays are snapshotted to host and the write continues in
     a background thread — call wait_for_saves() before reading the files
-    back; multi-host-aware; the production choice for pod-scale runs)."""
+    back; multi-host-aware; the production choice for pod-scale runs).
+
+    Durability note for the async backend: the returned paths may not
+    exist yet. Orbax commits atomically (write to a tmp dir, rename), so
+    a reader in ANY process sees either nothing or a complete
+    checkpoint, and `latest_checkpoint`'s strict name match skips
+    uncommitted tmp dirs; but a crash before the background write
+    finishes loses that save — run()'s final wait_for_saves() is the
+    in-process durability barrier."""
     d = Path(save_dir)
     d.mkdir(parents=True, exist_ok=True)
     (d / "options.json").write_text(opt.to_json())

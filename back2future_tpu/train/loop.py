@@ -69,10 +69,14 @@ def build_loaders(opt: Options):
     return train_loader, val_loader
 
 
-def _fmt_console(epoch, i, n, timer: StepTimer, logs: Dict, lr: float) -> str:
-    """Per-batch console line (train.lua:505-518)."""
+def _fmt_console(epoch, i, n, batch_time: float, data_time: float,
+                 logs: Dict, lr: float) -> str:
+    """Per-batch console line (train.lua:505-518). `batch_time` is the
+    total wall time attributed to this batch (the reference's Time field
+    also includes data wait, train.lua:498-517); `data_time` is the host
+    wait for THIS batch's data, snapshotted at dispatch."""
     parts = [f"Epoch: [{epoch}][{i}/{n}]",
-             f"Time {timer.step_time:.3f}",
+             f"Time {batch_time:.3f}",
              f"ERR {float(logs.get('loss', 0)):.3f}"]
     for key, label in (("pme", "PME"), ("sflow", "SmoothFlow"),
                        ("socc", "SmoothOcc"), ("gocc", "PriorOcc"),
@@ -87,7 +91,7 @@ def _fmt_console(epoch, i, n, timer: StepTimer, logs: Dict, lr: float) -> str:
             f"{float(logs['occ_acc_vis']):.3f},"
             f"{float(logs['occ_acc_fwd']):.3f})")
     parts.append(f"LR {lr:.0e}")
-    parts.append(f"DataLoadingTime {timer.data_time:.3f}")
+    parts.append(f"DataLoadingTime {data_time:.3f}")
     return "\t".join(parts)
 
 
@@ -136,19 +140,25 @@ def train_epoch(epoch: int, state: TrainState, step, loader, mesh, opt,
     timer = StepTimer()
     t0 = time.time()
 
+    last_drain = [t0]
+
     def drain(pending):
         """Fetch a queued step's logs (ONE host transfer) and print its
         console line. Deferring this by one step overlaps the device's
         step i+1 with the host-side fetch/format of step i — the per-step
         sync would otherwise serialize device and host (train.lua syncs
-        every batch; the relay makes that expensive)."""
-        i, logs = pending
+        every batch; the relay makes that expensive). Each batch's
+        data-loading time is snapshotted at dispatch so the deferred
+        line reports the right batch's wait."""
+        i, logs, data_time = pending
         logs = {k: float(v) for k, v in zip(logs, jax.device_get(
             list(logs.values())))}
-        timer.step_done()
+        now = time.time()
+        batch_time, last_drain[0] = now - last_drain[0], now
         rows.append(logs)
         if verbose:
-            print(_fmt_console(epoch, i + 1, len(loader), timer, logs, lr))
+            print(_fmt_console(epoch, i + 1, len(loader), batch_time,
+                               data_time, logs, lr))
 
     pending = None
     for i, batch in enumerate(
@@ -157,7 +167,7 @@ def train_epoch(epoch: int, state: TrainState, step, loader, mesh, opt,
         state, logs = step(state, batch)
         if pending is not None:
             drain(pending)
-        pending = (i, logs)
+        pending = (i, logs, timer.data_time)
         if opt.debug == 1 and model is not None:
             _debug_dump(opt.save, epoch, i, model, state.params, batch,
                         opt.frames)
@@ -190,15 +200,29 @@ def eval_epoch(epoch: int, state: TrainState, eval_step, loader, mesh, opt,
     """Validation epoch (test.lua:33-95)."""
     import jax
 
-    handles = []
+    from collections import deque
+
+    handles = deque()
+    rows = []
     t0 = time.time()
+
+    def fetch(h):
+        rows.append({k: float(v) for k, v in
+                     zip(h, jax.device_get(list(h.values())))})
+
+    # Keep a bounded number of eval steps in flight: dispatch returns
+    # immediately, so an unbounded queue would pin every validation
+    # batch's input buffers in HBM at once. Fetching the oldest handle's
+    # scalars is a completion barrier for that step (in-order execution),
+    # which caps resident batches at the window size while still
+    # overlapping host loading with device compute.
+    max_in_flight = max(2, opt.prefetch_depth)
     for batch in device_prefetch(iter(loader), mesh, depth=opt.prefetch_depth):
-        # queue every eval step; fetch all log scalars in one transfer at
-        # the end (no per-batch device sync)
         handles.append(eval_step(state.params, batch))
-    rows = [{k: float(v) for k, v in zip(h, vals)}
-            for h, vals in zip(handles, jax.device_get(
-                [list(h.values()) for h in handles]))]
+        if len(handles) > max_in_flight:
+            fetch(handles.popleft())
+    while handles:
+        fetch(handles.popleft())
     means = _epoch_means(rows)
     summary = {"avg loss (test set)": means["loss"]}
     if "epe" in means:
