@@ -40,37 +40,58 @@ def color_normalize(img: np.ndarray,
                     std: np.ndarray = IMAGENET_STD) -> np.ndarray:
     """(img - mean) / std per 3-channel frame group (transforms.lua:33-45)."""
     f = img.shape[-1] // 3
-    return (img - np.tile(mean, f)) / np.tile(std, f)
+    out = img - np.tile(mean, f)
+    out /= np.tile(std, f)
+    return out
+
+
+def _luma_groups(img: np.ndarray) -> np.ndarray:
+    """Per-group Rec601 luma, (H, W, F) (transforms.lua:227-235)."""
+    h, w, c = img.shape
+    g = img.reshape(h, w, c // 3, 3)
+    return g[..., 0] * 0.299 + g[..., 1] * 0.587 + g[..., 2] * 0.114
 
 
 def _grayscale_groups(img: np.ndarray) -> np.ndarray:
-    """Per-group Rec601 luma replicated over the group's 3 channels
-    (transforms.lua:227-235)."""
+    """Per-group luma replicated over the group's 3 channels."""
     h, w, c = img.shape
-    g = img.reshape(h, w, c // 3, 3)
-    luma = g[..., 0] * 0.299 + g[..., 1] * 0.587 + g[..., 2] * 0.114
-    return np.repeat(luma[..., None], 3, axis=-1).reshape(h, w, c)
+    return np.repeat(_luma_groups(img)[..., None], 3, axis=-1).reshape(h, w, c)
 
 
 def _blend(a: np.ndarray, b: np.ndarray, alpha: float) -> np.ndarray:
-    return a * alpha + b * (1.0 - alpha)
+    # `alpha` must be a python float: an np.float64 scalar would promote
+    # the whole f32 image pipeline to f64 (NEP 50 strong scalars)
+    alpha = float(alpha)
+    out = a * alpha
+    out += b * (1.0 - alpha)
+    return out
 
 
 def jitter_brightness(img, var, rng):
-    return _blend(img, np.zeros_like(img), 1.0 + rng.normal(0, var))
+    # blend toward zero == plain scale (consumes the same rng draw)
+    return img * float(1.0 + rng.normal(0, var))
 
 
 def jitter_contrast(img, var, rng):
-    gs = _grayscale_groups(img)
     h, w, c = img.shape
-    # each group blends toward the mean of its own gray channel
-    means = gs.reshape(h, w, c // 3, 3)[..., 0].mean(axis=(0, 1))
-    target = np.repeat(means, 3)[None, None, :] * np.ones_like(img)
-    return _blend(img, target, 1.0 + rng.normal(0, var))
+    # each group blends toward the mean of its own gray channel; the
+    # target is a per-group scalar — broadcast it instead of
+    # materializing a full-size target array
+    means = _luma_groups(img).mean(axis=(0, 1))
+    alpha = float(1.0 + rng.normal(0, var))
+    out = img * alpha
+    out.reshape(h, w, c // 3, 3)[...] += (
+        means * (1.0 - alpha)).astype(img.dtype)[None, None, :, None]
+    return out
 
 
 def jitter_saturation(img, var, rng):
-    return _blend(img, _grayscale_groups(img), 1.0 + rng.normal(0, var))
+    h, w, c = img.shape
+    alpha = float(1.0 + rng.normal(0, var))
+    out = img * alpha
+    out.reshape(h, w, c // 3, 3)[...] += (
+        _luma_groups(img) * (1.0 - alpha))[..., None]
+    return out
 
 
 def color_jitter(img: np.ndarray, rng: np.random.Generator,
@@ -162,10 +183,14 @@ def rotation_flow_field(h: int, w: int, r2: float) -> np.ndarray:
 
 
 def rotate_flow_vectors(flow: np.ndarray, angle: float) -> np.ndarray:
-    """Rotate flow *vectors* by -angle (donkey.lua:309-313)."""
+    """Rotate flow *vectors* by -angle (donkey.lua:309-313). Scalars are
+    python floats (weak NumPy promotion) so f32 flow stays f32 — an
+    np.float64 scalar would silently promote the whole downstream flow
+    pipeline to f64 and knock its resizes off the native f32 path."""
     u, v = flow[..., 0], flow[..., 1]
-    fu = np.cos(angle) * u + np.sin(angle) * v
-    fv = -np.sin(angle) * u + np.cos(angle) * v
+    ca, sa = float(np.cos(angle)), float(np.sin(angle))
+    fu = ca * u + sa * v
+    fv = -sa * u + ca * v
     return np.stack([fu, fv], axis=-1)
 
 
@@ -259,3 +284,138 @@ def augment_sample(frames: list, flow: np.ndarray, occ: np.ndarray,
         flow = resize(flow, sh, sw, "bilinear") * params.scale
 
     return images, flow, occ, (mask[..., 0] if mask.ndim == 3 else mask)
+
+
+def _frame_transforms(params: GeometricParams, nf: int, ref0: int):
+    """Per-frame (angle, int_shift) exactly as augment_sample applies
+    them: r1 for the reference, r1 ± f*r2 and ±f*(tx,ty) for neighbors
+    (donkey.lua:293-325)."""
+    angles = {ref0: params.r1}
+    shifts = {ref0: (0, 0)}
+    win = (nf - 1) // 2 if nf > 2 else 1
+    for f in range(1, win + 1):
+        if nf > 2:
+            angles[ref0 - f] = params.r1 - f * params.r2
+            shifts[ref0 - f] = (int(round(-f * params.tx)),
+                                int(round(-f * params.ty)))
+        if ref0 + f < nf:
+            angles[ref0 + f] = params.r1 + f * params.r2
+            shifts[ref0 + f] = (int(round(f * params.tx)),
+                                int(round(f * params.ty)))
+    return angles, shifts
+
+
+def augment_sample_cropped(frames: list, flow: np.ndarray, occ: np.ndarray,
+                           mask: np.ndarray, params: GeometricParams,
+                           ref0: int, lh: int, lw: int
+                           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                                      np.ndarray]:
+    """augment_sample + the load crop, evaluated only on the crop's
+    preimage windows — bit-identical results at a fraction of the work.
+
+    The slow path materializes every stage at full (then scaled, up to
+    2x) resolution and crops last; this path walks the crop window
+    backwards through scale -> translate -> rotate -> flip, evaluating
+    each stage only where the next one reads (windowed kernels in
+    data/resample.py, native when available). Flips fold into the
+    gather indices, integer translations into window offsets, and the
+    rotation-induced flow field is evaluated analytically at the
+    rotation's source coordinates. Exactness is tested against
+    augment_sample in tests/test_data.py."""
+    from .resample import (resize_bilinear_window, resize_nearest_window,
+                           rotate_nearest_window)
+
+    h, w = frames[0].shape[:2]
+    hf, vf = params.hflip, params.vflip
+    sc = params.scale
+    sh, sw = ((int(round(h * sc)), int(round(w * sc)))
+              if sc != 1.0 else (h, w))
+    # load-crop origin, with train_sample's clamping; slices may come up
+    # short when the scaled image is smaller than the crop (mirrors the
+    # slow path's short slices)
+    y0 = min(params.crop_y, max(sh - lh, 0))
+    x0 = min(params.crop_x, max(sw - lw, 0))
+    lh = min(lh, sh - y0)
+    lw = min(lw, sw - x0)
+
+    # rotation-stage window: preimage of the crop under the align-corners
+    # bilinear scale ((h,w) -> (sh,sw)), plus the +1 bilinear neighbor
+    if sc != 1.0:
+        sy = (h - 1) / max(sh - 1, 1)
+        sx = (w - 1) / max(sw - 1, 1)
+        ry0 = int(np.floor(y0 * sy))
+        rx0 = int(np.floor(x0 * sx))
+        ry1 = min(int(np.floor((y0 + lh - 1) * sy)) + 2, h)
+        rx1 = min(int(np.floor((x0 + lw - 1) * sx)) + 2, w)
+    else:
+        ry0, rx0, ry1, rx1 = y0, x0, y0 + lh, x0 + lw
+    wh, ww = ry1 - ry0, rx1 - rx0
+
+    def scaled(buf, mode="bilinear"):
+        """Crop window of the (sh,sw)-scaled virtual plane of `buf`
+        (a (wh,ww,C) window buffer at offset (ry0,rx0))."""
+        if sc == 1.0:
+            return buf
+        if mode == "bilinear":
+            return resize_bilinear_window(buf, h, w, sh, sw, y0, x0, lh, lw,
+                                          by0=ry0, bx0=rx0)
+        raise AssertionError(mode)
+
+    # frames: flips fold into the rotation gather, integer translations
+    # into the window offset (the kernel zero-fills outside the image,
+    # which IS translate's fill)
+    angles, shifts = _frame_transforms(params, len(frames), ref0)
+    rot_frames = [
+        rotate_nearest_window(frames[i], angles[i],
+                              ry0 - shifts[i][1], rx0 - shifts[i][0],
+                              wh, ww, hf, vf)
+        for i in range(len(frames))]
+    images = scaled(np.concatenate(rot_frames, axis=-1))
+
+    # flow: gather raw flow at the rotation source, fix flip signs, add
+    # the rotation-induced field evaluated at the source coords, rotate
+    # the vectors, add the translation, then scale (x magnitude)
+    fw = rotate_nearest_window(flow, params.r1, ry0, rx0, wh, ww, hf, vf)
+    if hf:
+        fw[..., 0] *= -1
+    if vf:
+        fw[..., 1] *= -1
+    yg = np.arange(ry0, ry1, dtype=np.int64)[:, None]
+    xg = np.arange(rx0, rx1, dtype=np.int64)[None, :]
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ca, sa = np.cos(params.r1), np.sin(params.r1)
+    xs = ca * (xg - cx) + sa * (yg - cy) + cx
+    ys = -sa * (xg - cx) + ca * (yg - cy) + cy
+    xi = np.round(xs).astype(np.int64)
+    yi = np.round(ys).astype(np.int64)
+    ok = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+    # rotation_flow_field's arithmetic, at the gathered source coords
+    fu = ((yi.astype(np.float32) + 1.0) - h / 2.0) * params.r2
+    fv = -(((xi.astype(np.float32) + 1.0) - w / 2.0) * params.r2)
+    okf = ok.astype(np.float32)
+    fw[..., 0] += fu * okf
+    fw[..., 1] += fv * okf
+    u, v = fw[..., 0], fw[..., 1]
+    caf, saf = float(ca), float(sa)  # python-float scalars: keep f32
+    fw = np.stack([caf * u + saf * v, -saf * u + caf * v], axis=-1)
+    fw[..., 0] += params.tx
+    fw[..., 1] += params.ty
+    flow_out = scaled(fw)
+    if sc != 1.0:
+        flow_out = flow_out * sc
+
+    # mask: rotated by r1 (no translate), bilinear-scaled
+    m3 = mask[..., None] if mask.ndim == 2 else mask
+    mw = rotate_nearest_window(m3, params.r1, ry0, rx0, wh, ww, hf, vf)
+    mask_out = scaled(mw)[..., 0]
+
+    # occ: flipped + nearest-scaled only (augment_sample never rotates or
+    # translates it — reference quirk)
+    if sc != 1.0:
+        occ_out = resize_nearest_window(occ, sh, sw, y0, x0, lh, lw, hf, vf)
+    else:
+        occ_f = occ[:, ::-1] if hf else occ
+        occ_f = occ_f[::-1] if vf else occ_f
+        occ_out = np.ascontiguousarray(occ_f[y0:y0 + lh, x0:x0 + lw])
+
+    return images, flow_out, occ_out, mask_out

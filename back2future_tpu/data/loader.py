@@ -81,11 +81,24 @@ class FlowDataset:
 
 
 class PrefetchLoader:
-    """Threaded batch prefetcher (the donkey pool, data.lua:22-51)."""
+    """Batch prefetcher pool (the donkey pool, data.lua:22-51).
+
+    worker_mode:
+      * "process" — one OS process per worker (the faithful analog of the
+        reference's donkeys, which are independent Lua interpreters):
+        full CPU parallelism, unconstrained by the GIL. Each worker owns
+        a static slice of the epoch's batch slots (slot s -> worker
+        s % n), so epoch content is deterministic given (seed, epoch).
+      * "thread" — in-process threads; lower batch-handoff cost, but
+        Python/NumPy glue in the sample hooks serializes on the GIL.
+      * "auto" (default) — processes when the platform supports fork,
+        threads otherwise (or when B2F_LOADER_MODE overrides).
+    """
 
     def __init__(self, dataset: FlowDataset, batch_size: int,
                  n_batches: int, n_workers: int = 8, manual_seed: int = 2,
-                 sequential: bool = False, queue_depth: int = 4):
+                 sequential: bool = False, queue_depth: int = 4,
+                 worker_mode: str = "auto"):
         self.dataset = dataset
         self.batch_size = batch_size
         self.n_batches = n_batches
@@ -93,10 +106,21 @@ class PrefetchLoader:
         self.manual_seed = manual_seed
         self.sequential = sequential
         self.queue_depth = queue_depth
+        self.worker_mode = worker_mode
         # Advanced once per __iter__ so re-iterating (one epoch = one
         # iteration in train_epoch) yields fresh sample indices and
         # augmentation draws instead of replaying epoch 0 forever.
         self.epoch = 0
+
+    def _resolved_mode(self) -> str:
+        import multiprocessing as mp
+        import os
+
+        mode = os.environ.get("B2F_LOADER_MODE", self.worker_mode)
+        if mode not in ("process", "thread"):
+            mode = ("process" if "fork" in mp.get_all_start_methods()
+                    else "thread")
+        return mode
 
     def __len__(self) -> int:
         return self.n_batches
@@ -120,6 +144,9 @@ class PrefetchLoader:
             rng = np.random.default_rng((self.manual_seed, epoch))
             for job in jobs:
                 yield self._run_job(job, rng)
+            return
+        if self._resolved_mode() == "process":
+            yield from self._iter_processes(jobs, epoch)
             return
 
         job_q: queue.Queue = queue.Queue()
@@ -175,6 +202,48 @@ class PrefetchLoader:
             yield batch
         for t in threads:
             t.join(timeout=5)
+
+    def _iter_processes(self, jobs: List, epoch: int
+                        ) -> Iterator[Dict[str, np.ndarray]]:
+        """Process-pool epoch: worker w computes slots w, w+n, w+2n, ...
+        and streams (slot, batch) over an IPC queue whose bound provides
+        the prefetch backpressure; the consumer reorders by slot. Worker
+        rngs are seeded (manual_seed, epoch, widx+1) exactly like thread
+        mode (data.lua:32-37)."""
+        import multiprocessing as mp
+
+        ctx = mp.get_context("fork")
+        n = min(self.n_workers, len(jobs)) or 1
+        out_q = ctx.Queue(maxsize=max(self.queue_depth, n))
+
+        def worker(widx: int):
+            rng = np.random.default_rng((self.manual_seed, epoch, widx + 1))
+            try:
+                for slot in range(widx, len(jobs), n):
+                    out_q.put((slot, self._run_job(jobs[slot], rng)))
+            except BaseException as e:  # surfaced to the consumer
+                out_q.put((-1, f"{type(e).__name__}: {e}"))
+
+        procs = [ctx.Process(target=worker, args=(w,), daemon=True)
+                 for w in range(n)]
+        for p in procs:
+            p.start()
+        try:
+            pending: Dict[int, Dict[str, np.ndarray]] = {}
+            for slot in range(len(jobs)):
+                while slot not in pending:
+                    got, batch = out_q.get()
+                    if got == -1:
+                        raise RuntimeError(f"loader worker failed: {batch}")
+                    pending[got] = batch
+                yield pending.pop(slot)
+        finally:
+            for p in procs:
+                p.terminate()
+            for p in procs:
+                p.join(timeout=5)
+                if p.is_alive():
+                    p.kill()
 
 
 def device_prefetch(host_batches: Iterator[Dict[str, np.ndarray]],

@@ -24,9 +24,17 @@ import numpy as np
 
 from ..io import load_flow
 from ..io.flow_io import load_disp
-from .augment import (augment_sample, color_normalize, gaussian_noise,
-                      preprocess, sample_geometric)
+from .augment import (augment_sample, augment_sample_cropped,
+                      color_normalize, gaussian_noise, preprocess,
+                      sample_geometric)
 from .manifest import SampleSpec
+
+
+def _fast_augment_enabled() -> bool:
+    """Windowed-augmentation fast path; B2F_FAST_AUGMENT=0 falls back to
+    the full-resolution reference path (they are A/B-tested identical)."""
+    return os.environ.get("B2F_FAST_AUGMENT", "1").strip().lower() not in (
+        "0", "false", "no", "off")
 from .resample import resize
 
 Arrays = Tuple[np.ndarray, np.ndarray, np.ndarray]
@@ -158,15 +166,22 @@ def train_sample(spec: SampleSpec, cfg: SampleConfig,
 
     if cfg.augment == 1:
         params = sample_geometric(rng, h, w, cfg.load_height, cfg.load_width)
-        images, flow, occ, mask = augment_sample(
-            frames, flow, occ, mask, params, cfg.ref0)
-        # crop to loadSize then photometric jitter (donkey.lua:346-358)
-        y0, x0 = params.crop_y, params.crop_x
-        ih, iw = images.shape[:2]
-        y0 = min(y0, max(ih - cfg.load_height, 0))
-        x0 = min(x0, max(iw - cfg.load_width, 0))
-        sl = np.s_[y0:y0 + cfg.load_height, x0:x0 + cfg.load_width]
-        images, flow, occ, mask = images[sl], flow[sl], occ[sl], mask[sl]
+        if _fast_augment_enabled():
+            # windowed evaluation of augment + load crop (bit-identical
+            # to the slow path below; tests/test_data.py A/Bs them)
+            images, flow, occ, mask = augment_sample_cropped(
+                frames, flow, occ, mask, params, cfg.ref0,
+                cfg.load_height, cfg.load_width)
+        else:
+            images, flow, occ, mask = augment_sample(
+                frames, flow, occ, mask, params, cfg.ref0)
+            # crop to loadSize then photometric jitter (donkey.lua:346-358)
+            y0, x0 = params.crop_y, params.crop_x
+            ih, iw = images.shape[:2]
+            y0 = min(y0, max(ih - cfg.load_height, 0))
+            x0 = min(x0, max(iw - cfg.load_width, 0))
+            sl = np.s_[y0:y0 + cfg.load_height, x0:x0 + cfg.load_width]
+            images, flow, occ, mask = images[sl], flow[sl], occ[sl], mask[sl]
         images = preprocess(images, rng, normalize=cfg.normalize_images == 1)
     else:
         images = np.concatenate(frames, axis=-1)

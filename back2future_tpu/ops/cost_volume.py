@@ -43,7 +43,18 @@ def cost_volume(ref: jax.Array, frame: jax.Array, win: int, dilation: int = 1,
     final normalization)."""
     if ref.shape != frame.shape:
         raise ValueError(f"shape mismatch {ref.shape} vs {frame.shape}")
+    import os
+
     from .layout import env_flag
+    # experiment override: B2F_CV_IMPL=pallas|unroll|scan forces the
+    # implementation regardless of the model's use_pallas flag
+    impl = os.environ.get("B2F_CV_IMPL", "").strip().lower()
+    if impl == "unroll":
+        use_pallas, unroll = False, True
+    elif impl == "scan":
+        use_pallas, unroll = False, False
+    elif impl == "pallas":
+        use_pallas = True
     if use_pallas and (jax.default_backend() == "tpu"
                        or env_flag("B2F_FORCE_PALLAS")):
         # only on real TPU by default: the CPU fallback would run the

@@ -360,3 +360,77 @@ class TestLoader:
         loader = PrefetchLoader(ds, batch_size=2, n_batches=2, n_workers=2)
         with pytest.raises(RuntimeError, match="decode failed"):
             list(loader)
+
+
+class TestFastAugment:
+    """augment_sample_cropped must be bit-identical to augment_sample +
+    the train_sample load crop (the windowed fast path vs the full-
+    resolution reference path)."""
+
+    @staticmethod
+    def _fixture(seed, nf):
+        rng = np.random.default_rng(seed)
+        h, w = 93, 151
+        frames = [rng.random((h, w, 3)).astype(np.float32)
+                  for _ in range(nf)]
+        flow = (rng.standard_normal((h, w, 2)) * 5).astype(np.float32)
+        occ = rng.choice([0.0, 0.5, 1.0], (h, w, 2)).astype(np.float32)
+        mask = (rng.random((h, w)) > 0.3).astype(np.float32)
+        return rng, frames, flow, occ, mask
+
+    def _check(self, params, nf=3, seed=0, lh=64, lw=96):
+        import dataclasses as dc
+
+        from back2future_tpu.data.augment import augment_sample_cropped
+
+        _, frames, flow, occ, mask = self._fixture(seed, nf)
+        ref0 = 0 if nf == 2 else (nf - 1) // 2
+        simages, sflow, socc, smask = augment_sample(
+            [f.copy() for f in frames], flow.copy(), occ.copy(),
+            mask.copy(), params, ref0)
+        ih, iw = simages.shape[:2]
+        y0 = min(params.crop_y, max(ih - lh, 0))
+        x0 = min(params.crop_x, max(iw - lw, 0))
+        sl = np.s_[y0:y0 + lh, x0:x0 + lw]
+        fimages, fflow, focc, fmask = augment_sample_cropped(
+            frames, flow, occ, mask, params, ref0, lh, lw)
+        np.testing.assert_array_equal(fimages, simages[sl])
+        np.testing.assert_allclose(fflow, sflow[sl], rtol=0, atol=1e-5)
+        np.testing.assert_array_equal(focc, socc[sl])
+        np.testing.assert_allclose(fmask, smask[sl], rtol=0, atol=1e-6)
+
+    def test_identity(self):
+        self._check(_id_params())
+
+    def test_flips(self):
+        self._check(_id_params(hflip=True, vflip=True))
+
+    def test_rotations(self):
+        self._check(_id_params(r1=0.13, r2=-0.07))
+
+    def test_translations(self):
+        self._check(_id_params(tx=6.4, ty=3.2))
+
+    def test_scale(self):
+        self._check(_id_params(scale=1.63, crop_y=11, crop_x=23))
+
+    @pytest.mark.parametrize("seed,nf", [(0, 2), (1, 3), (2, 5), (3, 3),
+                                         (4, 3), (5, 5), (6, 2), (7, 3)])
+    def test_random_params(self, seed, nf):
+        from back2future_tpu.data.augment import sample_geometric
+
+        rng, *_ = self._fixture(seed, nf)
+        params = sample_geometric(rng, 93, 151, 64, 96)
+        self._check(params, nf=nf, seed=seed)
+
+    def test_train_sample_paths_agree(self, toy_dataset, monkeypatch):
+        """End-to-end: train_sample with the fast path on vs off, same
+        rng stream, identical outputs."""
+        spec, _flow, (h, w) = toy_dataset
+        cfg = SampleConfig(ground_truth=True, augment=1, fine_height=24,
+                           fine_width=32, load_height=32, load_width=40)
+        a = train_sample(spec, cfg, np.random.default_rng(7))
+        monkeypatch.setenv("B2F_FAST_AUGMENT", "0")
+        b = train_sample(spec, cfg, np.random.default_rng(7))
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(x, y, rtol=0, atol=1e-5)
