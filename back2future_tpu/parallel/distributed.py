@@ -32,7 +32,11 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     single-host runs — failures re-raise in that case."""
     import os
 
-    if jax.process_count() > 1:
+    # NOTE: must not touch the XLA backend before distributed init —
+    # jax.process_count()/jax.devices() here would initialize it and
+    # make jax.distributed.initialize raise. is_initialized() only
+    # inspects distributed-service state.
+    if jax.distributed.is_initialized():
         return  # already initialized
     pod_env = any(os.environ.get(k) for k in
                   ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
