@@ -119,13 +119,49 @@ def pca_lighting(img: np.ndarray, rng: np.random.Generator,
     return img + np.tile(rgb.astype(img.dtype), f)
 
 
+def _photo_native():
+    from .resample import _native_lib
+
+    lib = _native_lib()
+    return lib if lib is not None and hasattr(lib, "photo_pipeline_f32") \
+        else None
+
+
 def preprocess(img: np.ndarray, rng: np.random.Generator,
                normalize: bool = True) -> np.ndarray:
-    """Training photometric pipeline (donkey.lua:158-179)."""
-    img = color_jitter(img, rng)
-    img = pca_lighting(img, rng)
-    if normalize:
-        img = color_normalize(img)
+    """Training photometric pipeline (donkey.lua:158-179).
+
+    Random draws happen here in the exact order of the NumPy path
+    (permutation, then one normal per jitter op, then the PCA alphas),
+    so the native and NumPy implementations consume identical rng
+    streams; the native kernel then applies the whole pipeline in place,
+    GIL-free (arithmetic agreement covered by tests/test_data.py)."""
+    lib = _photo_native()
+    if lib is None or img.dtype != np.float32 or img.shape[-1] % 3:
+        img = color_jitter(img, rng)
+        img = pca_lighting(img, rng)
+        if normalize:
+            img = color_normalize(img)
+        return img
+
+    import ctypes
+
+    order = rng.permutation(3)
+    alphas = np.array([1.0 + rng.normal(0, 0.02) for _ in order], np.float64)
+    pca_alpha = rng.normal(0, 0.1, size=3).astype(np.float32)
+    rgb = (PCA_EIGVEC * pca_alpha[None, :] * PCA_EIGVAL[None, :]).sum(axis=1)
+
+    img = np.ascontiguousarray(img, np.float32)
+    h, w, c = img.shape
+    fp = ctypes.POINTER(ctypes.c_float)
+    lib.photo_pipeline_f32(
+        img.ctypes.data_as(fp), h, w, c,
+        np.ascontiguousarray(order, np.int64).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int64)),
+        alphas.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), 3,
+        np.ascontiguousarray(rgb, np.float32).ctypes.data_as(fp), 1,
+        IMAGENET_MEAN.ctypes.data_as(fp), IMAGENET_STD.ctypes.data_as(fp),
+        int(normalize))
     return img
 
 

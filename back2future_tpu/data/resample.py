@@ -40,6 +40,12 @@ def _native_lib():
             lib.resize_nearest_window_f32.restype = None
             lib.resize_nearest_window_f32.argtypes = (
                 [fp, fp] + [ctypes.c_int64] * 11)
+            lib.photo_pipeline_f32.restype = None
+            lib.photo_pipeline_f32.argtypes = [
+                fp, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+                fp, ctypes.c_int64, fp, fp, ctypes.c_int64]
         _native = (lib,)
     return _native[0]
 

@@ -183,4 +183,81 @@ void resize_nearest_window_f32(const float* src, float* out,
   }
 }
 
+// ---------------------------------------------------------------- photometric
+// In-place photometric training pipeline (augment.preprocess): the
+// brightness/contrast/saturation jitters in the rng-drawn order, PCA
+// lighting, ImageNet normalization — one native call instead of ~10
+// full-size NumPy temporaries, and GIL-free so loader threads scale.
+// Random draws stay on the Python side (stream parity with the NumPy
+// path); op codes: 0=brightness, 1=contrast, 2=saturation.
+// Elementwise arithmetic matches the NumPy path op-for-op in f32; the
+// contrast group-mean uses a double accumulator (NumPy: pairwise f32) —
+// agreement to ~1e-6 relative, covered by tests.
+void photo_pipeline_f32(float* img, int64_t h, int64_t w, int64_t c,
+                        const int64_t* ops, const double* alphas,
+                        int64_t n_ops, const float* pca_rgb,
+                        int64_t do_lighting, const float* mean,
+                        const float* stdv, int64_t do_normalize) {
+  const int64_t npx = h * w;
+  const int64_t groups = c / 3;
+  for (int64_t oi = 0; oi < n_ops; ++oi) {
+    const float a = (float)alphas[oi];
+    const float b = (float)(1.0 - alphas[oi]);
+    switch (ops[oi]) {
+      case 0:  // brightness: blend toward zero
+        for (int64_t i = 0; i < npx * c; ++i) img[i] *= a;
+        break;
+      case 1: {  // contrast: blend toward the group's mean gray value
+        double acc[64] = {0};
+        for (int64_t p = 0; p < npx; ++p) {
+          const float* px = img + p * c;
+          for (int64_t g = 0; g < groups; ++g) {
+            const float* q = px + g * 3;
+            acc[g] += q[0] * 0.299f + q[1] * 0.587f + q[2] * 0.114f;
+          }
+        }
+        float target[64];
+        for (int64_t g = 0; g < groups; ++g)
+          target[g] = (float)(acc[g] / (double)npx) * b;
+        for (int64_t p = 0; p < npx; ++p) {
+          float* px = img + p * c;
+          for (int64_t g = 0; g < groups; ++g)
+            for (int64_t k = 0; k < 3; ++k)
+              px[g * 3 + k] = px[g * 3 + k] * a + target[g];
+        }
+        break;
+      }
+      case 2:  // saturation: blend toward the group's per-pixel gray
+        for (int64_t p = 0; p < npx; ++p) {
+          float* px = img + p * c;
+          for (int64_t g = 0; g < groups; ++g) {
+            float* q = px + g * 3;
+            const float luma =
+                q[0] * 0.299f + q[1] * 0.587f + q[2] * 0.114f;
+            const float add = luma * b;
+            q[0] = q[0] * a + add;
+            q[1] = q[1] * a + add;
+            q[2] = q[2] * a + add;
+          }
+        }
+        break;
+    }
+  }
+  if (do_lighting) {
+    for (int64_t p = 0; p < npx; ++p) {
+      float* px = img + p * c;
+      for (int64_t g = 0; g < groups; ++g)
+        for (int64_t k = 0; k < 3; ++k) px[g * 3 + k] += pca_rgb[k];
+    }
+  }
+  if (do_normalize) {
+    for (int64_t p = 0; p < npx; ++p) {
+      float* px = img + p * c;
+      for (int64_t g = 0; g < groups; ++g)
+        for (int64_t k = 0; k < 3; ++k)
+          px[g * 3 + k] = (px[g * 3 + k] - mean[k]) / stdv[k];
+    }
+  }
+}
+
 }  // extern "C"

@@ -434,3 +434,29 @@ class TestFastAugment:
         b = train_sample(spec, cfg, np.random.default_rng(7))
         for x, y in zip(a, b):
             np.testing.assert_allclose(x, y, rtol=0, atol=1e-5)
+
+
+class TestNativePhotometric:
+    def test_native_matches_numpy(self):
+        from back2future_tpu.data.augment import _photo_native, preprocess
+        if _photo_native() is None:
+            pytest.skip("native lib unavailable")
+        rng = np.random.default_rng(3)
+        img = rng.random((50, 70, 9)).astype(np.float32)
+        a = preprocess(img.copy(), np.random.default_rng(11))
+        # force the NumPy path with a non-f32 dtype, compare in f32
+        b = preprocess(img.copy().astype(np.float64),
+                       np.random.default_rng(11)).astype(np.float32)
+        np.testing.assert_allclose(a, b, rtol=0, atol=2e-5)
+
+    def test_rng_stream_parity(self):
+        """Both implementations must consume identical rng draws so a
+        seeded run is reproducible regardless of backend."""
+        from back2future_tpu.data.augment import _photo_native, preprocess
+        if _photo_native() is None:
+            pytest.skip("native lib unavailable")
+        img = np.zeros((4, 4, 9), np.float32)
+        r1, r2 = np.random.default_rng(5), np.random.default_rng(5)
+        preprocess(img.copy(), r1)
+        preprocess(img.copy().astype(np.float64), r2)
+        assert r1.integers(1 << 30) == r2.integers(1 << 30)
