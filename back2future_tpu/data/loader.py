@@ -209,23 +209,26 @@ class PrefetchLoader:
         and streams (slot, batch) over an IPC queue whose bound provides
         the prefetch backpressure; the consumer reorders by slot. Worker
         rngs are seeded (manual_seed, epoch, widx+1) exactly like thread
-        mode (data.lua:32-37)."""
-        import multiprocessing as mp
+        mode (data.lua:32-37).
 
-        ctx = mp.get_context("fork")
+        Start method: "fork" by default (workers never touch JAX, the
+        standard dataloader mitigation for forking a JAX/CUDA-threaded
+        parent); B2F_MP_START=spawn gives fully clean workers at the
+        cost of per-epoch interpreter startup and requiring a picklable
+        dataset/image_loader."""
+        import multiprocessing as mp
+        import os
+
+        method = os.environ.get("B2F_MP_START", "fork")
+        ctx = mp.get_context(method)
         n = min(self.n_workers, len(jobs)) or 1
         out_q = ctx.Queue(maxsize=max(self.queue_depth, n))
 
-        def worker(widx: int):
-            rng = np.random.default_rng((self.manual_seed, epoch, widx + 1))
-            try:
-                for slot in range(widx, len(jobs), n):
-                    out_q.put((slot, self._run_job(jobs[slot], rng)))
-            except BaseException as e:  # surfaced to the consumer
-                out_q.put((-1, f"{type(e).__name__}: {e}"))
-
-        procs = [ctx.Process(target=worker, args=(w,), daemon=True)
-                 for w in range(n)]
+        procs = [ctx.Process(
+            target=_process_worker,
+            args=(self.dataset, self.batch_size, jobs, w, n,
+                  (self.manual_seed, epoch, w + 1), out_q), daemon=True)
+            for w in range(n)]
         for p in procs:
             p.start()
         try:
@@ -244,6 +247,22 @@ class PrefetchLoader:
                 p.join(timeout=5)
                 if p.is_alive():
                     p.kill()
+
+
+def _process_worker(dataset: FlowDataset, batch_size: int, jobs: List,
+                    widx: int, n: int, seed, out_q) -> None:
+    """Module-level so it works under both fork and spawn start methods."""
+    rng = np.random.default_rng(seed)
+    try:
+        for slot in range(widx, len(jobs), n):
+            job = jobs[slot]
+            if job[0] == "get":
+                batch = dataset.get(job[1], job[2])
+            else:
+                batch = dataset.sample(batch_size, rng)
+            out_q.put((slot, batch))
+    except BaseException as e:  # surfaced to the consumer
+        out_q.put((-1, f"{type(e).__name__}: {e}"))
 
 
 def device_prefetch(host_batches: Iterator[Dict[str, np.ndarray]],

