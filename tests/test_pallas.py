@@ -111,8 +111,10 @@ class TestDispatch:
         finally:
             cvp._VMEM_BUDGET = orig
         want = cost_volume(ref, frame, win=3)
+        # f32 associativity: the fallback may take the unrolled path
+        # (e.g. under B2F_CV_MIN_HW), whose sum order differs from scan
         np.testing.assert_allclose(np.asarray(out), np.asarray(want),
-                                   rtol=1e-6)
+                                   rtol=1e-5, atol=1e-6)
 
 
 class TestSPMDComposition:
