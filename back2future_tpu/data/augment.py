@@ -52,12 +52,6 @@ def _luma_groups(img: np.ndarray) -> np.ndarray:
     return g[..., 0] * 0.299 + g[..., 1] * 0.587 + g[..., 2] * 0.114
 
 
-def _grayscale_groups(img: np.ndarray) -> np.ndarray:
-    """Per-group luma replicated over the group's 3 channels."""
-    h, w, c = img.shape
-    return np.repeat(_luma_groups(img)[..., None], 3, axis=-1).reshape(h, w, c)
-
-
 def _blend(a: np.ndarray, b: np.ndarray, alpha: float) -> np.ndarray:
     # `alpha` must be a python float: an np.float64 scalar would promote
     # the whole f32 image pipeline to f64 (NEP 50 strong scalars)
@@ -137,7 +131,10 @@ def preprocess(img: np.ndarray, rng: np.random.Generator,
     streams; the native kernel then applies the whole pipeline in place,
     GIL-free (arithmetic agreement covered by tests/test_data.py)."""
     lib = _photo_native()
-    if lib is None or img.dtype != np.float32 or img.shape[-1] % 3:
+    # 64 = the kernel's fixed per-group accumulator capacity (21 frames
+    # is already far beyond any model config)
+    if (lib is None or img.dtype != np.float32 or img.shape[-1] % 3
+            or img.shape[-1] // 3 > 64):
         img = color_jitter(img, rng)
         img = pca_lighting(img, rng)
         if normalize:
@@ -151,7 +148,9 @@ def preprocess(img: np.ndarray, rng: np.random.Generator,
     pca_alpha = rng.normal(0, 0.1, size=3).astype(np.float32)
     rgb = (PCA_EIGVEC * pca_alpha[None, :] * PCA_EIGVAL[None, :]).sum(axis=1)
 
-    img = np.ascontiguousarray(img, np.float32)
+    # np.array always copies: the kernel works in place, and the NumPy
+    # path never mutates its input — keep the API pure on both paths
+    img = np.array(img, np.float32, order="C")
     h, w, c = img.shape
     fp = ctypes.POINTER(ctypes.c_float)
     lib.photo_pipeline_f32(

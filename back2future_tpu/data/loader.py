@@ -152,7 +152,6 @@ class PrefetchLoader:
         job_q: queue.Queue = queue.Queue()
         # slot-ordered output: batches are delivered in job order even if
         # workers finish out of order, for deterministic epoch replays
-        out_q: queue.Queue = queue.Queue(maxsize=max(self.queue_depth, 1))
         results: Dict[int, Dict[str, np.ndarray]] = {}
         results_lock = threading.Lock()
         next_slot = [0]
@@ -223,11 +222,18 @@ class PrefetchLoader:
         ctx = mp.get_context(method)
         n = min(self.n_workers, len(jobs)) or 1
         out_q = ctx.Queue(maxsize=max(self.queue_depth, n))
+        # consumed-slot watermark: workers pace themselves against it so
+        # no worker runs more than max(queue_depth, n) slots ahead of the
+        # consumer — the same bounded-prefetch invariant as thread mode
+        # (otherwise fast workers could fill the consumer's reorder
+        # buffer with up to a whole epoch of batches)
+        progress = ctx.Value("l", 0, lock=False)
 
         procs = [ctx.Process(
             target=_process_worker,
             args=(self.dataset, self.batch_size, jobs, w, n,
-                  (self.manual_seed, epoch, w + 1), out_q), daemon=True)
+                  (self.manual_seed, epoch, w + 1), out_q, progress,
+                  max(self.queue_depth, n)), daemon=True)
             for w in range(n)]
         for p in procs:
             p.start()
@@ -235,10 +241,23 @@ class PrefetchLoader:
             pending: Dict[int, Dict[str, np.ndarray]] = {}
             for slot in range(len(jobs)):
                 while slot not in pending:
-                    got, batch = out_q.get()
+                    try:
+                        got, batch = out_q.get(timeout=5)
+                    except queue.Empty:
+                        dead = [p for p in procs
+                                if not p.is_alive() and p.exitcode not in
+                                (0, None)]
+                        if dead:  # e.g. OOM-killed / native crash: no
+                            #       error sentinel ever arrives
+                            raise RuntimeError(
+                                "loader worker died (exitcode "
+                                f"{dead[0].exitcode}); batch slot {slot} "
+                                "will never arrive") from None
+                        continue
                     if got == -1:
                         raise RuntimeError(f"loader worker failed: {batch}")
                     pending[got] = batch
+                progress.value = slot + 1
                 yield pending.pop(slot)
         finally:
             for p in procs:
@@ -250,11 +269,18 @@ class PrefetchLoader:
 
 
 def _process_worker(dataset: FlowDataset, batch_size: int, jobs: List,
-                    widx: int, n: int, seed, out_q) -> None:
-    """Module-level so it works under both fork and spawn start methods."""
+                    widx: int, n: int, seed, out_q, progress,
+                    max_ahead: int) -> None:
+    """Module-level so it works under both fork and spawn start methods.
+    Paces itself against the consumer's `progress` watermark so at most
+    `max_ahead` slots are in flight across queue + reorder buffer."""
+    import time
+
     rng = np.random.default_rng(seed)
     try:
         for slot in range(widx, len(jobs), n):
+            while slot - progress.value >= max_ahead:
+                time.sleep(0.02)
             job = jobs[slot]
             if job[0] == "get":
                 batch = dataset.get(job[1], job[2])

@@ -57,8 +57,9 @@ def cost_volume(ref: jax.Array, frame: jax.Array, win: int, dilation: int = 1,
         use_pallas = True
     # tiny pyramid levels are kernel-launch/DMA-latency bound in the
     # fused kernel; below this pixel count, the unrolled XLA form (which
-    # fuses into neighbors) takes over (B2F_CV_MIN_HW, measured A/B)
-    min_hw = int(os.environ.get("B2F_CV_MIN_HW", "0"))
+    # fuses into neighbors) takes over (B2F_CV_MIN_HW, measured A/B).
+    # An explicit B2F_CV_IMPL force wins over the gate.
+    min_hw = 0 if impl else int(os.environ.get("B2F_CV_MIN_HW", "0"))
     if use_pallas and ref.shape[1] * ref.shape[2] < min_hw:
         use_pallas, unroll = False, True
     if use_pallas and (jax.default_backend() == "tpu"

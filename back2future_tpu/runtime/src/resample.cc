@@ -200,6 +200,8 @@ void photo_pipeline_f32(float* img, int64_t h, int64_t w, int64_t c,
                         const float* stdv, int64_t do_normalize) {
   const int64_t npx = h * w;
   const int64_t groups = c / 3;
+  if (groups > 64) return;  // caller gates on this; defend the fixed
+  //                           acc[64]/target[64] buffers regardless
   for (int64_t oi = 0; oi < n_ops; ++oi) {
     const float a = (float)alphas[oi];
     const float b = (float)(1.0 - alphas[oi]);

@@ -155,6 +155,10 @@ def train_epoch(epoch: int, state: TrainState, step, loader, mesh, opt,
             list(logs.values())))}
         now = time.time()
         batch_time, last_drain[0] = now - last_drain[0], now
+        # the device_get above blocked on the device; reset the timer
+        # mark so the NEXT batch's data_loaded() measures only its own
+        # host wait, not this drain
+        timer.step_done()
         rows.append(logs)
         if verbose:
             print(_fmt_console(epoch, i + 1, len(loader), batch_time,

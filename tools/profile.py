@@ -70,6 +70,7 @@ def main(argv=None) -> None:
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--trace_dir", default="/tmp/b2f-trace")
     ap.add_argument("--no_pallas", action="store_true")
+    ap.add_argument("--frames", type=int, default=3)
     args = ap.parse_args(argv)
 
     import numpy as np
@@ -80,7 +81,8 @@ def main(argv=None) -> None:
     from back2future_tpu.models.pwc import PWCNet, pwc_config_from_options
 
     opt = Options(optimize="pme", compute_dtype="bfloat16",
-                  use_pallas=not args.no_pallas, batchSize=args.batch).derive()
+                  use_pallas=not args.no_pallas, batchSize=args.batch,
+                  frames=args.frames).derive()
     model = PWCNet(pwc_config_from_options(opt))
     params = model.init(jax.random.PRNGKey(0),
                         jnp.zeros((1, 64, 128, 3 * opt.frames)))["params"]
