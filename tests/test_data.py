@@ -460,3 +460,34 @@ class TestNativePhotometric:
         preprocess(img.copy(), r1)
         preprocess(img.copy().astype(np.float64), r2)
         assert r1.integers(1 << 30) == r2.integers(1 << 30)
+
+
+class TestLoaderModes:
+    """All three worker modes (and the spawn start method) must deliver
+    the same number of well-formed batches; sequential mode must be
+    order-identical across modes."""
+
+    def _ds(self, toy, train=False):
+        spec, _, _ = toy
+        cfg = SampleConfig(frames=3, fine_height=24, fine_width=32,
+                           load_height=32, load_width=48)
+        return FlowDataset([spec] * 6, cfg, train=train)
+
+    @pytest.mark.parametrize("mode", ["thread", "process"])
+    def test_sequential_identical_across_modes(self, toy_dataset, mode):
+        ds = self._ds(toy_dataset)
+        pool = PrefetchLoader(ds, batch_size=2, n_batches=3, n_workers=2,
+                              sequential=True, worker_mode=mode)
+        sync = PrefetchLoader(ds, batch_size=2, n_batches=3, n_workers=0,
+                              sequential=True)
+        for a, b in zip(pool, sync):
+            np.testing.assert_array_equal(a["images"], b["images"])
+
+    def test_spawn_start_method(self, toy_dataset, monkeypatch):
+        monkeypatch.setenv("B2F_MP_START", "spawn")
+        ds = self._ds(toy_dataset)
+        loader = PrefetchLoader(ds, batch_size=2, n_batches=2, n_workers=2,
+                                sequential=True, worker_mode="process")
+        batches = list(loader)
+        assert len(batches) == 2
+        assert batches[0]["images"].shape == (2, 24, 32, 9)
