@@ -202,6 +202,11 @@ class PWCNet(nn.Module):
         # image pyramids of non-ref frames for photometric warps
         # (ds[f][j] = image downsampled j times; models/pwc.lua:147-158)
         ds = {}
+        # NOTE: pinning only the finest entries compiles to the *same*
+        # executable as pinning all of them (layout assignment propagates
+        # the constraint down the avg_pool chain; verified by identical
+        # post-optimization fingerprints on v5e) — so every entry is
+        # pinned for clarity, and B2F_IMG_LAYOUT=none is the only knob.
         for f in range(1, F + 1):
             if f != ref:
                 chain = [_pin_img(Is[f])]
