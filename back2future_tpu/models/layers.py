@@ -26,6 +26,46 @@ def torch_conv_init(kernel_hw: tuple, in_features: int):
     return init
 
 
+def _stem_im2col_enabled() -> bool:
+    import os
+
+    return os.environ.get("B2F_STEM_IM2COL", "").strip().lower() not in (
+        "", "0", "false", "no", "off")
+
+
+class _Im2ColConv(nn.Module):
+    """3x3 conv expressed as explicit patch-extraction + one matmul.
+
+    Experimental alternative lowering for the small-C stride-2 stem
+    convs, whose XLA conv lowering runs ~5x off the HBM roofline at
+    C_in=3/16 (BENCHMARKS.md). Parameter names/shapes are identical to
+    the nn.Conv it replaces ("kernel"/"bias"), so checkpoints and the
+    .t7 converter are unaffected; numerics agree to bf16 tolerance
+    (same MXU contraction, different accumulation order)."""
+    features: int
+    kernel: int
+    stride: int
+    dtype: jnp.dtype
+    kernel_init: callable = nn.initializers.lecun_normal()
+    bias_init: callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x):
+        k, s = self.kernel, self.stride
+        in_f = x.shape[-1]
+        w = self.param("kernel", self.kernel_init, (k, k, in_f, self.features))
+        b = self.param("bias", self.bias_init, (self.features,))
+        pad = k // 2
+        xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+        ho = (x.shape[1] + s - 1) // s
+        wo = (x.shape[2] + s - 1) // s
+        cols = [xp[:, dy:dy + s * ho:s, dx:dx + s * wo:s, :]
+                for dy in range(k) for dx in range(k)]
+        patches = jnp.concatenate(cols, axis=-1).astype(self.dtype)
+        wm = w.reshape(k * k * in_f, self.features).astype(self.dtype)
+        return patches @ wm + b.astype(self.dtype)
+
+
 class Conv(nn.Module):
     """3x3 (default) conv, SAME padding, torch init, NHWC."""
     features: int
@@ -37,6 +77,10 @@ class Conv(nn.Module):
     def __call__(self, x):
         in_f = x.shape[-1]
         init = torch_conv_init((self.kernel, self.kernel), in_f)
+        if self.stride > 1 and in_f <= 16 and _stem_im2col_enabled():
+            return _Im2ColConv(self.features, self.kernel, self.stride,
+                               self.dtype, kernel_init=init, bias_init=init,
+                               name="conv")(x)
         return nn.Conv(
             self.features, (self.kernel, self.kernel),
             strides=(self.stride, self.stride),
