@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Callable, Dict, Iterator, List, Optional, Sequence
+from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -83,12 +83,27 @@ class FlowDataset:
 class PrefetchLoader:
     """Batch prefetcher pool (the donkey pool, data.lua:22-51).
 
+    Seeding is per batch slot: slot s of epoch e draws its sample indices
+    from rng (manual_seed, e, s) and each sample's augmentations from
+    (manual_seed, e, s, position). Epoch content is therefore
+    deterministic given (seed, epoch) alone — identical across worker
+    modes, worker counts, AND host counts (the reference seeds long-lived
+    donkeys once, data.lua:32-37, making content depend on nDonkeys; the
+    rebuild's scheme is strictly stronger and is what makes multi-host
+    training trajectory-equivalent to single-host, tests/test_multiprocess.py).
+
+    Multi-host sharding: `batch_size` is the GLOBAL batch; with
+    shard=(h, n_hosts) the loader yields host h's local slice
+    (batch_size // n_hosts samples) of every global batch — sample
+    indices and augmentation draws are computed from the global slot and
+    position, so n hosts together materialize exactly the single-host
+    epoch (parallel/distributed.py assembles the global array).
+
     worker_mode:
       * "process" — one OS process per worker (the faithful analog of the
         reference's donkeys, which are independent Lua interpreters):
-        full CPU parallelism, unconstrained by the GIL. Each worker owns
-        a static slice of the epoch's batch slots (slot s -> worker
-        s % n), so epoch content is deterministic given (seed, epoch).
+        full CPU parallelism, unconstrained by the GIL. Worker w owns
+        batch slots w, w+n, w+2n, ...
       * "thread" — in-process threads; lower batch-handoff cost, but
         Python/NumPy glue in the sample hooks serializes on the GIL.
       * "auto" (default) — processes when the platform supports fork,
@@ -98,7 +113,11 @@ class PrefetchLoader:
     def __init__(self, dataset: FlowDataset, batch_size: int,
                  n_batches: int, n_workers: int = 8, manual_seed: int = 2,
                  sequential: bool = False, queue_depth: int = 4,
-                 worker_mode: str = "auto"):
+                 worker_mode: str = "auto",
+                 shard: Tuple[int, int] = (0, 1)):
+        if batch_size % shard[1]:
+            raise ValueError(f"global batch {batch_size} not divisible by "
+                             f"{shard[1]} hosts")
         self.dataset = dataset
         self.batch_size = batch_size
         self.n_batches = n_batches
@@ -107,6 +126,7 @@ class PrefetchLoader:
         self.sequential = sequential
         self.queue_depth = queue_depth
         self.worker_mode = worker_mode
+        self.shard = tuple(shard)
         # Advanced once per __iter__ so re-iterating (one epoch = one
         # iteration in train_epoch) yields fresh sample indices and
         # augmentation draws instead of replaying epoch 0 forever.
@@ -125,28 +145,31 @@ class PrefetchLoader:
     def __len__(self) -> int:
         return self.n_batches
 
-    def _jobs(self) -> List:
+    def _run_job(self, slot: int, epoch: int) -> Dict[str, np.ndarray]:
+        """Materialize this host's slice of global batch `slot`."""
+        h, n_hosts = self.shard
+        local = self.batch_size // n_hosts
+        lo, hi = h * local, (h + 1) * local
         if self.sequential:
-            return [("get", i * self.batch_size, (i + 1) * self.batch_size)
-                    for i in range(self.n_batches)]
-        return [("sample",)] * self.n_batches
-
-    def _run_job(self, job, rng) -> Dict[str, np.ndarray]:
-        if job[0] == "get":
-            return self.dataset.get(job[1], job[2])
-        return self.dataset.sample(self.batch_size, rng)
+            base = slot * self.batch_size
+            return self.dataset.get(base + lo,
+                                    min(base + hi, len(self.dataset)))
+        rng = np.random.default_rng((self.manual_seed, epoch, slot))
+        ids = rng.integers(0, len(self.dataset), size=self.batch_size)
+        return collate([self.dataset.load(
+            int(ids[pos]),
+            np.random.default_rng((self.manual_seed, epoch, slot, pos)))
+            for pos in range(lo, hi)])
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        jobs = self._jobs()
         epoch = self.epoch
         self.epoch += 1
         if self.n_workers == 0:  # synchronous debug mode (data.lua:39-44)
-            rng = np.random.default_rng((self.manual_seed, epoch))
-            for job in jobs:
-                yield self._run_job(job, rng)
+            for slot in range(self.n_batches):
+                yield self._run_job(slot, epoch)
             return
         if self._resolved_mode() == "process":
-            yield from self._iter_processes(jobs, epoch)
+            yield from self._iter_processes(epoch)
             return
 
         job_q: queue.Queue = queue.Queue()
@@ -158,18 +181,17 @@ class PrefetchLoader:
         slot_ready = threading.Condition(results_lock)
         errors: List[BaseException] = []
 
-        for i, job in enumerate(jobs):
-            job_q.put((i, job))
+        for i in range(self.n_batches):
+            job_q.put(i)
 
         def worker(widx: int):
-            rng = np.random.default_rng((self.manual_seed, epoch, widx + 1))
             while True:
                 try:
-                    slot, job = job_q.get_nowait()
+                    slot = job_q.get_nowait()
                 except queue.Empty:
                     return
                 try:
-                    batch = self._run_job(job, rng)
+                    batch = self._run_job(slot, epoch)
                 except BaseException as e:  # surfaced to the consumer
                     with slot_ready:
                         errors.append(e)
@@ -189,7 +211,7 @@ class PrefetchLoader:
         for t in threads:
             t.start()
 
-        for slot in range(len(jobs)):
+        for slot in range(self.n_batches):
             with slot_ready:
                 while slot not in results and not errors:
                     slot_ready.wait(timeout=0.5)
@@ -202,13 +224,12 @@ class PrefetchLoader:
         for t in threads:
             t.join(timeout=5)
 
-    def _iter_processes(self, jobs: List, epoch: int
-                        ) -> Iterator[Dict[str, np.ndarray]]:
+    def _iter_processes(self, epoch: int) -> Iterator[Dict[str, np.ndarray]]:
         """Process-pool epoch: worker w computes slots w, w+n, w+2n, ...
         and streams (slot, batch) over an IPC queue whose bound provides
-        the prefetch backpressure; the consumer reorders by slot. Worker
-        rngs are seeded (manual_seed, epoch, widx+1) exactly like thread
-        mode (data.lua:32-37).
+        the prefetch backpressure; the consumer reorders by slot. Slot
+        seeding (see class docstring) makes the content identical to
+        thread/sync modes.
 
         Start method: "fork" by default (workers never touch JAX, the
         standard dataloader mitigation for forking a JAX/CUDA-threaded
@@ -220,7 +241,7 @@ class PrefetchLoader:
 
         method = os.environ.get("B2F_MP_START", "fork")
         ctx = mp.get_context(method)
-        n = min(self.n_workers, len(jobs)) or 1
+        n = min(self.n_workers, self.n_batches) or 1
         out_q = ctx.Queue(maxsize=max(self.queue_depth, n))
         # consumed-slot watermark: workers pace themselves against it so
         # no worker runs more than max(queue_depth, n) slots ahead of the
@@ -228,18 +249,20 @@ class PrefetchLoader:
         # (otherwise fast workers could fill the consumer's reorder
         # buffer with up to a whole epoch of batches)
         progress = ctx.Value("l", 0, lock=False)
+        # paired condition so waiting workers sleep until the consumer
+        # advances the watermark instead of polling
+        pace = ctx.Condition()
 
         procs = [ctx.Process(
             target=_process_worker,
-            args=(self.dataset, self.batch_size, jobs, w, n,
-                  (self.manual_seed, epoch, w + 1), out_q, progress,
+            args=(self, epoch, w, n, out_q, progress, pace,
                   max(self.queue_depth, n)), daemon=True)
             for w in range(n)]
         for p in procs:
             p.start()
         try:
             pending: Dict[int, Dict[str, np.ndarray]] = {}
-            for slot in range(len(jobs)):
+            for slot in range(self.n_batches):
                 while slot not in pending:
                     try:
                         got, batch = out_q.get(timeout=5)
@@ -257,7 +280,9 @@ class PrefetchLoader:
                     if got == -1:
                         raise RuntimeError(f"loader worker failed: {batch}")
                     pending[got] = batch
-                progress.value = slot + 1
+                with pace:
+                    progress.value = slot + 1
+                    pace.notify_all()
                 yield pending.pop(slot)
         finally:
             for p in procs:
@@ -268,25 +293,19 @@ class PrefetchLoader:
                     p.kill()
 
 
-def _process_worker(dataset: FlowDataset, batch_size: int, jobs: List,
-                    widx: int, n: int, seed, out_q, progress,
-                    max_ahead: int) -> None:
+def _process_worker(loader: "PrefetchLoader", epoch: int, widx: int, n: int,
+                    out_q, progress, pace, max_ahead: int) -> None:
     """Module-level so it works under both fork and spawn start methods.
     Paces itself against the consumer's `progress` watermark so at most
-    `max_ahead` slots are in flight across queue + reorder buffer."""
-    import time
-
-    rng = np.random.default_rng(seed)
+    `max_ahead` slots are in flight across queue + reorder buffer; waits
+    on the shared condition (timeout as a liveness fallback) instead of
+    polling."""
     try:
-        for slot in range(widx, len(jobs), n):
-            while slot - progress.value >= max_ahead:
-                time.sleep(0.02)
-            job = jobs[slot]
-            if job[0] == "get":
-                batch = dataset.get(job[1], job[2])
-            else:
-                batch = dataset.sample(batch_size, rng)
-            out_q.put((slot, batch))
+        for slot in range(widx, loader.n_batches, n):
+            with pace:
+                while slot - progress.value >= max_ahead:
+                    pace.wait(timeout=1.0)
+            out_q.put((slot, loader._run_job(slot, epoch)))
     except BaseException as e:  # surfaced to the consumer
         out_q.put((-1, f"{type(e).__name__}: {e}"))
 
@@ -294,15 +313,27 @@ def _process_worker(dataset: FlowDataset, batch_size: int, jobs: List,
 def device_prefetch(host_batches: Iterator[Dict[str, np.ndarray]],
                     mesh=None, spatial: bool = False, depth: int = 2):
     """Keep `depth` batches in flight on the device/mesh ahead of the
-    consumer (the H2D side of the donkey pipeline, train.lua:206-208)."""
+    consumer (the H2D side of the donkey pipeline, train.lua:206-208).
+
+    In a multi-host run (jax.process_count() > 1) each host feeds its
+    LOCAL batch slice (PrefetchLoader shard mode) and the batches are
+    assembled into globally-sharded jax.Arrays over the mesh
+    (parallel/distributed.make_global_batch); single-host batches are
+    device_put with the same data(/spatial) sharding."""
     import collections
+
+    import jax
 
     from ..parallel.mesh import shard_batch
 
+    multihost = mesh is not None and jax.process_count() > 1
+
     def put(b):
         if mesh is None:
-            import jax
             return jax.tree_util.tree_map(jax.device_put, b)
+        if multihost:
+            from ..parallel.distributed import make_global_batch
+            return make_global_batch(b, mesh, spatial)
         return shard_batch(b, mesh, spatial)
 
     buf = collections.deque()

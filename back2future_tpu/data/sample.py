@@ -28,6 +28,7 @@ from .augment import (augment_sample, augment_sample_cropped,
                       color_normalize, gaussian_noise, preprocess,
                       sample_geometric)
 from .manifest import SampleSpec
+from .resample import resize
 
 
 def _fast_augment_enabled() -> bool:
@@ -35,7 +36,7 @@ def _fast_augment_enabled() -> bool:
     the full-resolution reference path (they are A/B-tested identical)."""
     return os.environ.get("B2F_FAST_AUGMENT", "1").strip().lower() not in (
         "0", "false", "no", "off")
-from .resample import resize
+
 
 Arrays = Tuple[np.ndarray, np.ndarray, np.ndarray]
 

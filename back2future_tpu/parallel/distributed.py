@@ -29,7 +29,12 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
 
     An explicitly-requested multi-host launch (coordinator address given,
     or pod env vars present) must NOT silently degrade to N independent
-    single-host runs — failures re-raise in that case."""
+    single-host runs — failures re-raise in that case.
+
+    Manual cluster launches (no pod metadata, e.g. CPU hosts over DCN)
+    can pass the cluster spec via env vars instead of arguments:
+    B2F_COORDINATOR=host:port B2F_NUM_PROCESSES=n B2F_PROCESS_ID=i —
+    this is how `python main.py` joins a cluster without new CLI flags."""
     import os
 
     # NOTE: must not touch the XLA backend before distributed init —
@@ -38,6 +43,10 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     # inspects distributed-service state.
     if jax.distributed.is_initialized():
         return  # already initialized
+    if coordinator_address is None and os.environ.get("B2F_COORDINATOR"):
+        coordinator_address = os.environ["B2F_COORDINATOR"]
+        num_processes = int(os.environ["B2F_NUM_PROCESSES"])
+        process_id = int(os.environ["B2F_PROCESS_ID"])
     pod_env = any(os.environ.get(k) for k in
                   ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
                    "MEGASCALE_COORDINATOR_ADDRESS"))

@@ -45,17 +45,23 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, spatial: bool = False):
-    """Place a pytree of host arrays onto the mesh, batch-sharded."""
-    sh = batch_sharding(mesh, spatial)
+    """Place a pytree of host arrays onto the mesh, batch-sharded.
+
+    A batch whose leading dim does not divide the 'data' axis (e.g. the
+    final partial validation batch, test.lua:52-64 improved) is
+    replicated instead — correct, just not parallel for that one batch."""
+    data_n = mesh.shape.get("data", 1)
+    spatial_n = mesh.shape.get("spatial", 1)
 
     def put(x):
         if x is None:
             return None
-        if getattr(x, "ndim", 0) == 0:
+        if getattr(x, "ndim", 0) == 0 or x.shape[0] % data_n:
             return jax.device_put(x, replicated_sharding(mesh))
         spec = [None] * x.ndim
         spec[0] = "data"
-        if spatial and "spatial" in mesh.axis_names and x.ndim >= 2:
+        if (spatial and "spatial" in mesh.axis_names and x.ndim >= 2
+                and x.shape[1] % spatial_n == 0):
             spec[1] = "spatial"
         return jax.device_put(x, NamedSharding(mesh, P(*spec)))
 
@@ -63,6 +69,17 @@ def shard_batch(batch, mesh: Mesh, spatial: bool = False):
 
 
 def replicate(tree, mesh: Mesh):
-    """Replicate a pytree (params/opt state) across the mesh."""
+    """Replicate a pytree (params/opt state) across the mesh.
+
+    On a multi-host mesh the devices are not all addressable from this
+    process, so plain device_put cannot place the array; every host holds
+    an identical copy (same seed / same checkpoint), which is exactly the
+    contract of make_array_from_process_local_data with a fully-
+    replicated sharding."""
     sh = replicated_sharding(mesh)
+    if any(d.process_index != jax.process_index()
+           for d in mesh.devices.flat):
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sh, np.asarray(x)), tree)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), tree)

@@ -42,8 +42,15 @@ def build_model(opt: Options):
     raise ValueError(f"unknown netType {opt.netType!r}")
 
 
-def build_loaders(opt: Options):
-    """Manifest + split -> train/val datasets and loaders (donkey.lua)."""
+def build_loaders(opt: Options, shard=(0, 1)):
+    """Manifest + split -> train/val datasets and loaders (donkey.lua).
+
+    `shard=(host, n_hosts)`: each host loads only its slice of every
+    global batch (multi-host DCN runs); `opt.batchSize` stays the GLOBAL
+    batch size. Single-host validation covers the whole split including
+    the final partial batch (improving on test.lua:52-64 which drops the
+    remainder); multi-host validation keeps full global batches only —
+    eval_epoch logs how many samples that skips."""
     manifest = Path(opt.datasets_dir) / f"{opt.dataset}.dat"
     split = Path(opt.datasets_dir) / f"{opt.dataset}_split.dat"
     specs = load_manifest(manifest, opt.ground_truth,
@@ -60,11 +67,17 @@ def build_loaders(opt: Options):
 
     train_loader = PrefetchLoader(
         train_ds, opt.batchSize, n_batches=opt.epochSize,
-        n_workers=opt.nDonkeys, manual_seed=opt.manualSeed)
-    n_val_batches = (len(val_ds) // opt.batchSize) if val_ds else 0
+        n_workers=opt.nDonkeys, manual_seed=opt.manualSeed, shard=shard)
+    if val_ds is None:
+        n_val_batches = 0
+    elif shard[1] == 1:
+        n_val_batches = -(-len(val_ds) // opt.batchSize)  # ceil
+    else:
+        n_val_batches = len(val_ds) // opt.batchSize
     val_loader = (PrefetchLoader(val_ds, opt.batchSize, n_val_batches,
                                  n_workers=opt.nDonkeys,
-                                 manual_seed=opt.manualSeed, sequential=True)
+                                 manual_seed=opt.manualSeed, sequential=True,
+                                 shard=shard)
                   if n_val_batches else None)
     return train_loader, val_loader
 
@@ -165,8 +178,10 @@ def train_epoch(epoch: int, state: TrainState, step, loader, mesh, opt,
                                data_time, logs, lr))
 
     pending = None
+    spatial = "spatial" in mesh.axis_names
     for i, batch in enumerate(
-            device_prefetch(iter(loader), mesh, depth=opt.prefetch_depth)):
+            device_prefetch(iter(loader), mesh, spatial=spatial,
+                            depth=opt.prefetch_depth)):
         timer.data_loaded()
         state, logs = step(state, batch)
         if pending is not None:
@@ -207,12 +222,14 @@ def eval_epoch(epoch: int, state: TrainState, eval_step, loader, mesh, opt,
     from collections import deque
 
     handles = deque()
-    rows = []
+    rows, weights = [], []
     t0 = time.time()
 
-    def fetch(h):
+    def fetch(item):
+        h, w = item
         rows.append({k: float(v) for k, v in
                      zip(h, jax.device_get(list(h.values())))})
+        weights.append(w)
 
     # Keep a bounded number of eval steps in flight: dispatch returns
     # immediately, so an unbounded queue would pin every validation
@@ -221,13 +238,22 @@ def eval_epoch(epoch: int, state: TrainState, eval_step, loader, mesh, opt,
     # which caps resident batches at the window size while still
     # overlapping host loading with device compute.
     max_in_flight = max(2, opt.prefetch_depth)
-    for batch in device_prefetch(iter(loader), mesh, depth=opt.prefetch_depth):
-        handles.append(eval_step(state.params, batch))
+    spatial = "spatial" in mesh.axis_names
+    for batch in device_prefetch(iter(loader), mesh, spatial=spatial,
+                                 depth=opt.prefetch_depth):
+        # the final batch may be partial (single-host ceil coverage);
+        # per-batch sample counts weight the aggregation so the epoch
+        # metrics are exact over everything evaluated
+        handles.append((eval_step(state.params, batch),
+                        int(batch["images"].shape[0])))
         if len(handles) > max_in_flight:
             fetch(handles.popleft())
     while handles:
         fetch(handles.popleft())
-    means = _epoch_means(rows)
+    w = np.asarray(weights, np.float64)
+    means = {k: float(np.average([float(r[k]) for r in rows], weights=w))
+             for k in rows[0]}
+    n_eval, n_total = int(w.sum()), len(loader.dataset)
     summary = {"avg loss (test set)": means["loss"]}
     if "epe" in means:
         summary["avg epe (test set)"] = means["epe"]
@@ -235,19 +261,36 @@ def eval_epoch(epoch: int, state: TrainState, eval_step, loader, mesh, opt,
         summary["avg occ acc (test set)"] = means["occ_acc"]
     logger.add(summary)
     if verbose:
+        skipped = (f" ({n_total - n_eval} skipped)" if n_eval < n_total
+                   else "")
         print(f"Epoch: [{epoch}][TESTING SUMMARY] Total Time(s): "
               f"{time.time() - t0:.2f}\taverage loss (per batch): "
-              f"{means['loss']:.4f}")
+              f"{means['loss']:.4f}\tsamples {n_eval}/{n_total}{skipped}")
     return means
 
 
 def run(opt: Options, max_epochs: Optional[int] = None) -> TrainState:
-    """Full training run (main.lua:17-39). Returns the final state."""
+    """Full training run (main.lua:17-39). Returns the final state.
+
+    Multi-host: `initialize_multihost` wires the DCN cluster FIRST (it
+    must precede any backend touch); every host then runs this same
+    function, loading only its slice of each global batch
+    (build_loaders shard) while the mesh spans all hosts' chips. With
+    more than one host, nGPU (a single-machine knob, util.lua:27-48) is
+    ignored and the mesh uses every chip in the slice."""
     import jax
 
+    from ..parallel.distributed import (host_local_batch_size,
+                                        initialize_multihost)
+
+    initialize_multihost()
     np.random.seed(opt.manualSeed)
 
-    mesh = make_mesh(jax.devices()[:opt.nGPU] if opt.nGPU > 0 else None,
+    n_hosts = jax.process_count()
+    shard = (jax.process_index(), n_hosts)
+    host_local_batch_size(opt.batchSize)  # validates divisibility
+    local_devices = (jax.devices()[:opt.nGPU] if opt.nGPU > 0 else None)
+    mesh = make_mesh(None if n_hosts > 1 else local_devices,
                      shape=opt.mesh_shape, axes=opt.mesh_axes)
     model = build_model(opt)
     crits = build_criterions(opt)
@@ -266,23 +309,31 @@ def run(opt: Options, max_epochs: Optional[int] = None) -> TrainState:
     state = state.replace(params=replicate(state.params, mesh),
                           opt_state=replicate(state.opt_state, mesh))
 
-    train_loader, val_loader = build_loaders(opt)
+    train_loader, val_loader = build_loaders(opt, shard=shard)
     step = make_train_step(model, opt, crits)
     eval_step = make_eval_step(model, opt, crits)
 
-    train_log = SymbolLogger(Path(opt.save) / "train.log")
-    test_log = SymbolLogger(Path(opt.save) / "test.log")
+    # On a shared filesystem N hosts must not interleave writes into one
+    # TSV; host 0 owns the canonical logs (and the console), the others
+    # keep per-host side logs for debugging.
+    is_main = shard[0] == 0
+    suffix = "" if is_main else f".host{shard[0]}"
+    train_log = SymbolLogger(Path(opt.save) / f"train.log{suffix}")
+    test_log = SymbolLogger(Path(opt.save) / f"test.log{suffix}")
 
     last = opt.nEpochs if max_epochs is None else min(
         opt.nEpochs, epoch0 + max_epochs - 1)
     with mesh:
         for epoch in range(epoch0, last + 1):
             state, _ = train_epoch(epoch, state, step, train_loader, mesh,
-                                   opt, train_log, model=model)
+                                   opt, train_log, verbose=is_main,
+                                   model=model)
             if val_loader is not None:
                 eval_epoch(epoch, state, eval_step, val_loader, mesh, opt,
-                           test_log)
-            if epoch % opt.epochStore == 0:
+                           test_log, verbose=is_main)
+            if epoch % opt.epochStore == 0 and is_main:
+                # replicated state: host 0's copy IS the checkpoint
+                # (cleanDPT-style dedup, util.lua:50-78)
                 save_checkpoint(opt.save, state, opt, epoch)
             for log in (train_log, test_log):  # myLogger.lua:137-192
                 try:

@@ -52,6 +52,127 @@ _WORKER = textwrap.dedent("""
 """)
 
 
+_RUN_WORKER = textwrap.dedent("""
+    import os, sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    sys.path.insert(0, os.environ["B2F_REPO"])
+    from back2future_tpu.config import Options
+    from back2future_tpu.train.loop import run
+
+    root = os.environ["B2F_TOY_ROOT"]
+    opt = Options(
+        dataset="toy", datasets_dir=os.path.join(root, "datasets"),
+        data_root=root, cache=os.path.join(root, "ckpt"),
+        expName=os.environ["B2F_EXP"], optimize="pme", frames=3, levels=4,
+        compute_dtype="float32", cropHeight=32, cropWidth=64,
+        batchSize=2, epochSize=2, nEpochs=2, nDonkeys=0, epochStore=1,
+        nGPU=0,
+    ).derive(make_dirs=True)
+    # run() calls initialize_multihost() itself, which picks the cluster
+    # spec up from B2F_COORDINATOR/B2F_NUM_PROCESSES/B2F_PROCESS_ID
+    state = run(opt)
+    assert jax.process_count() == 2, jax.process_count()
+    assert int(state.step) == 4
+    print(f"proc {jax.process_index()}: run ok", flush=True)
+""")
+
+
+def _toy_tree(root):
+    """Tiny dataset tree (mirrors test_loop.toy_tree, odd val count so
+    the partial-batch paths differ between single- and multi-host)."""
+    import numpy as np
+
+    from back2future_tpu.data import SampleSpec, write_manifest
+    from back2future_tpu.io.png16 import write_png
+
+    (root / "datasets").mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(1, 9):
+        write_png(root / f"img_{i:02d}.png",
+                  (rng.random((40, 72, 3)) * 255).astype(np.uint8))
+    write_manifest(root / "datasets" / "toy.dat",
+                   [SampleSpec("[PATH]/img_%02d.png", None, r, 1)
+                    for r in (2, 3, 4, 5, 6)])
+    (root / "datasets" / "toy_split.dat").write_text("1\n1\n2\n2\n2\n")
+
+
+@pytest.mark.skipif(sys.platform != "linux", reason="fork/localhost only")
+def test_two_process_run_matches_single_host(tmp_path):
+    """`run()` itself on a 2-host cluster (1 CPU device per host): the
+    epoch loss trajectory must match a single-process run with the same
+    global batch (the slot-seeded loader makes epoch CONTENT identical;
+    only all-reduce summation order may differ)."""
+    import numpy as np
+
+    from back2future_tpu.utils import SymbolLogger
+
+    _toy_tree(tmp_path)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    worker_py = tmp_path / "run_worker.py"
+    worker_py.write_text(_RUN_WORKER)
+    env = {**os.environ,
+           "B2F_REPO": str(Path(__file__).resolve().parent.parent),
+           "B2F_TOY_ROOT": str(tmp_path),
+           "B2F_EXP": "mh",
+           "B2F_COORDINATOR": f"127.0.0.1:{port}",
+           "B2F_NUM_PROCESSES": "2",
+           "JAX_PLATFORMS": "",
+           "XLA_FLAGS": "--xla_force_host_platform_device_count=1"}
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    procs = [subprocess.Popen([sys.executable, str(worker_py)],
+                              env={**env, "B2F_PROCESS_ID": str(i)},
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail(f"run() workers hung; partial output: {outs}")
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out}"
+        assert "run ok" in out
+
+    # reference single-process run, same GLOBAL batch, in this process
+    from back2future_tpu.config import Options
+    from back2future_tpu.train.loop import run
+
+    opt = Options(
+        dataset="toy", datasets_dir=str(tmp_path / "datasets"),
+        data_root=str(tmp_path), cache=str(tmp_path / "ckpt"),
+        expName="sh", optimize="pme", frames=3, levels=4,
+        compute_dtype="float32", cropHeight=32, cropWidth=64,
+        batchSize=2, epochSize=2, nEpochs=2, nDonkeys=0, epochStore=1,
+        nGPU=1,
+    ).derive(make_dirs=True)
+    state = run(opt)
+    assert int(state.step) == 4
+
+    mh = SymbolLogger(tmp_path / "ckpt" / "mh" / "train.log").read()
+    sh = SymbolLogger(tmp_path / "ckpt" / "sh" / "train.log").read()
+    np.testing.assert_allclose(mh["avg loss (train set)"],
+                               sh["avg loss (train set)"],
+                               rtol=2e-3, atol=1e-5)
+    # host 1 kept a side log; host 0 owns the canonical one
+    assert (tmp_path / "ckpt" / "mh" / "train.log.host1").exists()
+    # multi-host validation drops the odd remainder sample; single-host
+    # evaluates the full split (partial final batch) — both must log
+    mh_t = SymbolLogger(tmp_path / "ckpt" / "mh" / "test.log").read()
+    sh_t = SymbolLogger(tmp_path / "ckpt" / "sh" / "test.log").read()
+    assert len(mh_t["avg loss (test set)"]) == 2
+    assert len(sh_t["avg loss (test set)"]) == 2
+
+
 @pytest.mark.skipif(sys.platform != "linux", reason="fork/localhost only")
 def test_two_process_cluster(tmp_path):
     with socket.socket() as s:  # free localhost port
