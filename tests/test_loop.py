@@ -68,6 +68,76 @@ def test_run_two_epochs_checkpoints_and_logs(toy_tree):
     assert (save / "model_4.msgpack").exists()
 
 
+def test_three_stage_hard_to_soft_recipe(toy_tree):
+    """The reference's flagship training recipe, end-to-end
+    (README.md:83-103): hard pretrain (OBCC, single future-flow decoder)
+    -> `-retrain <ckpt> -convert_to_soft 1` surgery -> soft fine-tune
+    (OBGCC + past_flow + const_vel + second-order smoothness)."""
+    import dataclasses
+
+    import jax
+
+    from back2future_tpu.train.checkpoint import load_or_convert
+    from back2future_tpu.train.loop import build_model
+
+    # --- stage 1: hard-constraint pretrain (OBCC) ---
+    hard_opt = Options(
+        dataset="toy", datasets_dir=str(toy_tree / "datasets"),
+        data_root=str(toy_tree), cache=str(toy_tree / "ckpt3"),
+        expName="hard", optimize="pme", pme_criterion="OBCC",
+        frames=3, levels=4, compute_dtype="float32",
+        cropHeight=32, cropWidth=64, batchSize=2, epochSize=3,
+        nEpochs=1, nDonkeys=0, epochStore=1, nGPU=1, LR=1e-3,
+    ).derive(make_dirs=True)
+    assert not hard_opt.past_flow
+    run(hard_opt)
+    hard_ckpt = Path(hard_opt.save) / "model_1.msgpack"
+    assert hard_ckpt.exists()
+
+    # --- stage 2: conversion surgery (model.lua:56-116 analog) ---
+    soft_opt = Options(
+        dataset="toy", datasets_dir=str(toy_tree / "datasets"),
+        data_root=str(toy_tree), cache=str(toy_tree / "ckpt3"),
+        expName="soft", optimize="pme", pme_criterion="OBGCC",
+        past_flow=True, const_vel=1.0, smooth_second_order=True,
+        retrain=str(hard_ckpt), convert_to_soft=True,
+        frames=3, levels=4, compute_dtype="float32",
+        cropHeight=32, cropWidth=64, batchSize=2, epochSize=3,
+        nEpochs=2, nDonkeys=0, epochStore=1, nGPU=1, LR=1e-3,
+    ).derive(make_dirs=True)
+    params, _, _ = load_or_convert(soft_opt)
+    past = [k for k in params if k.startswith("past_decoder_")]
+    assert past, "surgery produced no past-flow decoders"
+    for k in past:  # seeded from the matching hard future-flow decoder
+        src = params[k.replace("past_decoder_", "flow_decoder_")]
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_array_equal(a, b), params[k], src)
+
+    # --- stage 3: soft fine-tune from the surgered weights ---
+    state = run(soft_opt)
+    assert int(state.step) == 6
+    cols = SymbolLogger(Path(soft_opt.save) / "train.log").read()
+    losses = cols["avg loss (train set)"]
+    assert len(losses) == 2 and all(np.isfinite(v) for v in losses)
+    assert losses[-1] < losses[0]  # fine-tune makes progress
+
+    # the trained soft model emits past-flow outputs at every level
+    import jax.numpy as jnp
+    model = build_model(soft_opt)
+    outs = model.apply({"params": jax.device_get(state.params)},
+                       jnp.zeros((1, 32, 64, 9), jnp.float32))
+    assert all(g["flow_past"] is not None for g in outs)
+    # ...and the past decoders have diverged from their future seeds
+    p = jax.device_get(state.params)
+    diverged = any(
+        not np.array_equal(a, b)
+        for k in past
+        for a, b in zip(jax.tree_util.tree_leaves(p[k]),
+                        jax.tree_util.tree_leaves(
+                            p[k.replace("past_decoder_", "flow_decoder_")])))
+    assert diverged
+
+
 @pytest.fixture(scope="module")
 def toy_gt_tree(tmp_path_factory):
     """Toy dataset WITH .flo ground truth + occ maps for the epe branch."""
@@ -111,3 +181,35 @@ def test_run_supervised_epe_branch(toy_gt_tree):
     assert "avg epe (train set)" in cols
     assert "avg occ acc (train set)" in cols
     assert all(np.isfinite(v) for v in cols["avg epe (train set)"])
+
+
+def test_spatial_mesh_run_matches_dp(toy_tree):
+    """`--mesh_shape 4,2 --mesh_axes data,spatial` must actually shard H
+    through the real train loop and produce the same trajectory as pure
+    DP (same global batch; only reduction order may differ)."""
+    import dataclasses
+
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs the 8-device CPU mesh")
+
+    base = dict(
+        dataset="toy", datasets_dir=str(toy_tree / "datasets"),
+        data_root=str(toy_tree), cache=str(toy_tree / "ckptsp"),
+        optimize="pme", frames=3, levels=4, compute_dtype="float32",
+        cropHeight=32, cropWidth=64, batchSize=4, epochSize=2,
+        nEpochs=1, nDonkeys=0, epochStore=1, LR=1e-3)
+    opt_dp = Options(expName="dp", nGPU=4, **base).derive(make_dirs=True)
+    opt_sp = Options(expName="sp", nGPU=8, mesh_shape=(4, 2),
+                     mesh_axes=("data", "spatial"),
+                     **base).derive(make_dirs=True)
+
+    run(opt_dp)
+    run(opt_sp)
+    dp = SymbolLogger(Path(opt_dp.save) / "train.log").read()
+    sp = SymbolLogger(Path(opt_sp.save) / "train.log").read()
+    np.testing.assert_allclose(sp["avg loss (train set)"],
+                               dp["avg loss (train set)"],
+                               rtol=2e-3, atol=1e-5)

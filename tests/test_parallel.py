@@ -60,3 +60,55 @@ class TestMultiHost:
         assert out["images"].shape == (8, 4, 4, 3)
         np.testing.assert_array_equal(np.asarray(out["images"]),
                                       local["images"])
+
+
+class TestSoftConstraintSPMD:
+    """The soft-constraint half of the loss surface (past_flow decoders +
+    OBGCC + const_vel + second-order smoothness, train.lua:435-441) must
+    compile and execute under SPMD on the data x spatial mesh — the hard
+    OBCC step is covered by __graft_entry__.dryrun_multichip."""
+
+    def test_soft_train_step_on_data_spatial_mesh(self):
+        import jax.numpy as jnp
+        from jax.sharding import Mesh, NamedSharding
+
+        from back2future_tpu.config import Options
+        from back2future_tpu.losses import build_criterions
+        from back2future_tpu.models.pwc import PWCNet, pwc_config_from_options
+        from back2future_tpu.train.state import create_train_state
+        from back2future_tpu.train.step import make_train_step
+
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs the 8-device CPU mesh")
+        mesh = Mesh(np.array(devs[:8]).reshape(4, 2), ("data", "spatial"))
+
+        opt = Options(
+            optimize="pme", pme_criterion="OBGCC", past_flow=True,
+            const_vel=1.0, smooth_second_order=True, frames=3, levels=4,
+            batchSize=4, compute_dtype="float32").derive()
+        crits = build_criterions(opt)
+        model = PWCNet(pwc_config_from_options(opt))
+
+        B, H, W = 4, 32, 64
+        rng = np.random.RandomState(0)
+        images = rng.randn(B, H, W, 9).astype(np.float32) * 0.1
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, H, W, 9), jnp.float32))["params"]
+        state = create_train_state(params, opt)
+        state = state.replace(params=replicate(state.params, mesh),
+                              opt_state=replicate(state.opt_state, mesh))
+        batch = {"images": jax.device_put(
+            images, NamedSharding(mesh, P("data", "spatial", None, None)))}
+
+        step = make_train_step(model, opt, crits, donate=False)
+        with mesh:
+            new_state, logs = step(state, batch)
+        assert np.isfinite(float(logs["loss"]))
+        # the past-flow decoders received gradient (their params moved)
+        moved = any(
+            not np.array_equal(np.asarray(a), np.asarray(b))
+            for k in params if k.startswith("past_decoder_")
+            for a, b in zip(jax.tree_util.tree_leaves(params[k]),
+                            jax.tree_util.tree_leaves(new_state.params[k])))
+        assert moved
