@@ -26,11 +26,26 @@ a Storage resolve to the SAME NumPy array object.
 
 from __future__ import annotations
 
+import contextlib
 import struct
+import sys
 from pathlib import Path
 from typing import Any, BinaryIO, Dict
 
 import numpy as np
+
+
+@contextlib.contextmanager
+def _deep_recursion(limit: int = 50000):
+    """Serialized nngraph gModules chain nodes through children/mapindex
+    references hundreds deep; the recursive reader/writer needs more
+    stack than CPython's default 1000 frames."""
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, limit))
+    try:
+        yield
+    finally:
+        sys.setrecursionlimit(old)
 
 TYPE_NIL = 0
 TYPE_NUMBER = 1
@@ -181,7 +196,7 @@ class T7Reader:
 
 
 def load_t7(path: str | Path) -> Any:
-    with open(path, "rb") as f:
+    with open(path, "rb") as f, _deep_recursion():
         return T7Reader(f).read()
 
 
@@ -297,5 +312,5 @@ class T7Writer:
 
 
 def save_t7(path: str | Path, obj: Any) -> None:
-    with open(path, "wb") as f:
+    with open(path, "wb") as f, _deep_recursion():
         T7Writer(f).write(obj)

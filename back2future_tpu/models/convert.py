@@ -24,7 +24,7 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
-from ..io.t7 import load_t7
+from ..io.t7 import _deep_recursion, load_t7
 
 _CONV_TYPES = ("nn.SpatialConvolution", "cudnn.SpatialConvolution",
                "nn.SpatialConvolutionMM")
@@ -58,7 +58,9 @@ def iter_modules(obj: Any, seen: Optional[set] = None):
 def collect_convs(model_t7: Any) -> List[Dict[str, np.ndarray]]:
     """All convolution modules (with weights) in serialization order."""
     convs = []
-    for m in iter_modules(model_t7):
+    with _deep_recursion():  # nngraph node chains recurse deeply
+        convs_iter = list(iter_modules(model_t7))
+    for m in convs_iter:
         if str(m.get("torch_type")) in _CONV_TYPES and "weight" in m:
             w = np.asarray(m["weight"], np.float32)
             if w.ndim == 2:  # SpatialConvolutionMM folded layout

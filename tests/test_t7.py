@@ -166,3 +166,153 @@ class TestConversion:
         np.testing.assert_array_equal(
             np.asarray(out["flow_decoder_5"]["out"]["conv"]["kernel"]),
             np.asarray(params["flow_decoder_5"]["out"]["conv"]["kernel"]))
+
+
+class TestRealistic:
+    """Converter vs faithfully-structured nngraph serializations
+    (tests/nngraph_fixture.py): gModule forwardnodes graphs with cyclic
+    node references, nn.DataParallelTable wrappers, CudaTensor dtypes,
+    clone-shared storages, getParameters()-flattened single-storage
+    views, SpatialConvolutionMM folded weights — the shapes the real
+    Dropbox checkpoints carry (back2future.lua:113-116,
+    models/pwc.lua:187-195, util.lua:50-78)."""
+
+    def _params(self, past_flow=False, frames=3, levels=5, seed=0):
+        cfg = PWCConfig(frames=frames, levels=levels, past_flow=past_flow)
+        model = PWCNet(cfg)
+        return model.init(
+            jax.random.PRNGKey(seed),
+            jnp.zeros((1, 32, 64, 3 * frames)))["params"]
+
+    def _assert_tree_equal(self, params, out):
+        flat_a = jax.tree_util.tree_leaves_with_path(params)
+        flat_b = dict(jax.tree_util.tree_leaves_with_path(out))
+        assert len(flat_a) == len(flat_b)
+        for path_k, leaf in flat_a:
+            np.testing.assert_array_equal(
+                np.asarray(leaf), np.asarray(flat_b[path_k]),
+                err_msg=str(path_k))
+
+    @pytest.mark.parametrize("past_flow", [False, True])
+    def test_gmodule_forwardnodes_cuda(self, tmp_path, past_flow):
+        from nngraph_fixture import build_gmodule, save_nngraph_t7
+
+        params = self._params(past_flow)
+        gm = build_gmodule(params, frames=3, levels=5, past_flow=past_flow)
+        path = tmp_path / "gm.t7"
+        save_nngraph_t7(path, gm)
+        out = convert_t7_checkpoint(str(path), frames=3, levels=5,
+                                    past_flow=past_flow)
+        self._assert_tree_equal(params, out)
+
+    def test_forwardnodes_only_no_modules_key(self, tmp_path):
+        """Conversion must survive a gModule whose flat `modules` list is
+        absent — the walk then has to follow the forwardnodes graph."""
+        from nngraph_fixture import build_gmodule, save_nngraph_t7
+
+        params = self._params()
+        gm = build_gmodule(params, frames=3, levels=5,
+                           include_modules_key=False)
+        path = tmp_path / "fn.t7"
+        save_nngraph_t7(path, gm)
+        out = convert_t7_checkpoint(str(path), frames=3, levels=5)
+        self._assert_tree_equal(params, out)
+
+    def test_dpt_wrapped_flattened_storage(self, tmp_path):
+        """DataParallelTable wrapper + every weight a view into one flat
+        storage (the post-getParameters() layout) + storage-shared
+        siamese clones."""
+        from nngraph_fixture import (build_gmodule, save_nngraph_t7,
+                                     wrap_dpt)
+
+        params = self._params(frames=5, levels=5, seed=3)
+        gm = build_gmodule(params, frames=5, levels=5,
+                           flatten_storage=True)
+        path = tmp_path / "dpt_flat.t7"
+        save_nngraph_t7(path, wrap_dpt(gm))
+        out = convert_t7_checkpoint(str(path), frames=5, levels=5)
+        self._assert_tree_equal(params, out)
+
+    def test_spatialconvolutionmm_folded(self, tmp_path):
+        """nn.SpatialConvolutionMM stores weights 2-D (outC, inC*kH*kW);
+        the converter unfolds them via the kH/kW/nInputPlane attrs."""
+        from nngraph_fixture import build_gmodule, save_nngraph_t7
+
+        params = self._params()
+        gm = build_gmodule(params, frames=3, levels=5,
+                           conv_type="nn.SpatialConvolutionMM",
+                           mm_folded=True)
+        path = tmp_path / "mm.t7"
+        save_nngraph_t7(path, gm)
+        out = convert_t7_checkpoint(str(path), frames=3, levels=5)
+        self._assert_tree_equal(params, out)
+
+    def test_strided_and_offset_views_load_exactly(self, tmp_path):
+        """The reader must materialize non-contiguous / offset tensor
+        views exactly (transposed strides, nonzero storage offset,
+        shared storage)."""
+        from nngraph_fixture import TV, save_nngraph_t7
+
+        storage = np.arange(64, dtype=np.float32)
+        obj = {
+            "plain": TV(storage, (4, 4), (4, 1), 0),
+            "offset": TV(storage, (3, 4), (4, 1), 8),
+            "transposed": TV(storage, (4, 4), (1, 4), 0),
+            "strided_rows": TV(storage, (4, 4), (8, 1), 0),
+        }
+        path = tmp_path / "views.t7"
+        save_nngraph_t7(path, obj)
+        back = load_t7(str(path))
+        base = storage.reshape(8, 8)
+        np.testing.assert_array_equal(back["plain"],
+                                      storage[:16].reshape(4, 4))
+        np.testing.assert_array_equal(back["offset"],
+                                      storage[8:20].reshape(3, 4))
+        np.testing.assert_array_equal(back["transposed"],
+                                      storage[:16].reshape(4, 4).T)
+        np.testing.assert_array_equal(back["strided_rows"], base[:4, :4])
+
+    def test_parity_harness_on_realistic_t7(self, tmp_path):
+        """tools/parity.py --t7 runs unchanged on a realistic
+        serialization: converts, runs compute_flow on a triplet, writes
+        flow artifacts, and the flow equals a direct forward with the
+        source params."""
+        import sys
+        from pathlib import Path as _P
+
+        sys.path.insert(0, str(_P(__file__).resolve().parent.parent
+                               / "tools"))
+        import parity
+
+        from nngraph_fixture import build_gmodule, save_nngraph_t7, wrap_dpt
+        from back2future_tpu.io.flow_io import load_flo
+        from back2future_tpu.io.png16 import write_png
+
+        params = self._params(levels=5)
+        gm = build_gmodule(params, frames=3, levels=5)
+        t7_path = tmp_path / "real.t7"
+        save_nngraph_t7(t7_path, wrap_dpt(gm))
+
+        rng = np.random.default_rng(0)
+        frame_paths = []
+        for i in range(3):
+            p = tmp_path / f"f{i}.png"
+            write_png(p, (rng.random((48, 80, 3)) * 255).astype(np.uint8))
+            frame_paths.append(str(p))
+
+        rc = parity.main([
+            "--t7", str(t7_path), "--frames", *frame_paths,
+            "--levels", "5", "--out", str(tmp_path / "out"), "--cpu"])
+        assert rc == 0
+        flo = load_flo(tmp_path / "out" / "flow.flo")
+        assert flo.shape[-1] == 2 and np.isfinite(flo).all()
+
+        # same flow as running the source params directly
+        from back2future_tpu.models.pwc import pwc_config_from_options
+        from back2future_tpu.config import Options
+
+        opt = Options(frames=3, levels=5).derive()
+        flow2, _, _ = parity.run_triplet(
+            (params, pwc_config_from_options(opt)), frame_paths)
+        np.testing.assert_allclose(flo, np.asarray(flow2), rtol=1e-5,
+                                   atol=1e-6)
