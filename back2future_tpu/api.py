@@ -48,7 +48,16 @@ def _round_down_64(x: int) -> int:
 
 
 class FlowEstimator:
-    """Stateful wrapper owning the params and per-shape jit cache."""
+    """Stateful wrapper owning the params and the compiled forward.
+
+    Shape policy: inputs are snapped DOWN to the /64 grid
+    (back2future.lua:54-71), which is the shape bucket — every input
+    resolution in the same 64x64 cell shares one compiled executable
+    (jax.jit specializes per bucket and caches each). A NEW bucket
+    triggers a fresh XLA compile, which through the TPU relay takes
+    minutes; mixed-resolution streams should either stick to one
+    resolution or pre-compile their buckets up front with `warmup()`.
+    A warning is emitted the first time a second bucket appears."""
 
     def __init__(self, params, config, dtype: str = "bfloat16"):
         import jax
@@ -60,11 +69,38 @@ class FlowEstimator:
         self.params = params
         self._jit = jax.jit(
             lambda p, x: self._finest(self.model.apply({"params": p}, x)))
+        self._seen_buckets: set = set()
 
     @staticmethod
     def _finest(outputs):
         g = outputs[0]
         return g["flow"], g["occ"]
+
+    def _forward(self, x):
+        bucket = x.shape[1:3]
+        if bucket not in self._seen_buckets:
+            self._seen_buckets.add(bucket)
+            if len(self._seen_buckets) > 1:
+                import warnings
+
+                warnings.warn(
+                    f"compute_flow: new /64 shape bucket {bucket} triggers "
+                    f"a fresh XLA compile (minutes through the TPU relay; "
+                    f"buckets seen so far: {sorted(self._seen_buckets)}). "
+                    f"Keep resolutions consistent or pre-compile with "
+                    f"FlowEstimator.warmup().", stacklevel=3)
+        return self._jit(self.params, x)
+
+    def warmup(self, sizes) -> None:
+        """Pre-compile the /64 buckets for `sizes` = [(height, width), ...]
+        (raw input resolutions; snapped down like compute_flow does)."""
+        import jax
+        import jax.numpy as jnp
+
+        for h, w in sizes:
+            x = jnp.zeros((1, _round_down_64(h), _round_down_64(w),
+                           3 * self.config.frames), jnp.float32)
+            jax.block_until_ready(self._forward(x))
 
     def __call__(self, im1: np.ndarray, im2: np.ndarray, im3: np.ndarray
                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -88,7 +124,7 @@ class FlowEstimator:
         if (fine_h, fine_w) != (height, width):
             imgs = resize(imgs, fine_h, fine_w, "bilinear")
 
-        flow, occ = self._jit(self.params, jnp.asarray(imgs)[None])
+        flow, occ = self._forward(jnp.asarray(imgs)[None])
         flow = np.asarray(flow[0], np.float32)
         occ = np.asarray(occ[0], np.float32)
 

@@ -133,15 +133,19 @@ def _wp():
 
 
 def _pallas_dimg_enabled() -> bool:
-    """Opt-in only (B2F_FORCE_PALLAS): measured on v5e, the fused two-hot
+    """Opt-in only (B2F_DIMG_PALLAS): measured on v5e, the fused two-hot
     transpose kernel is VPU-bound on its (P, H*C) expansion and loses to
     the XLA scatter at every model shape (3.6 vs 2.7 ms for the level-3
     feature-warp pair at 320x640) — the scatter's ~10 ns/index is near
     the DMA-descriptor-rate floor. The kernel is kept as working evidence
-    of the formulation and for hardware where scatters are slower."""
+    of the formulation and for hardware where scatters are slower.
+
+    Deliberately a separate flag from B2F_FORCE_PALLAS (which forces the
+    cost-volume Pallas path off-TPU for interpret-mode testing) so
+    forcing one experiment doesn't silently switch the warp backward."""
     from .layout import env_flag
 
-    return env_flag("B2F_FORCE_PALLAS")
+    return env_flag("B2F_DIMG_PALLAS")
 
 
 def _d_images_matmul(g, y0, x0, wx, wy, h, w):

@@ -15,6 +15,7 @@ import os
 import subprocess
 import sysconfig
 import threading
+import warnings
 from pathlib import Path
 from typing import Optional
 
@@ -24,7 +25,11 @@ _LOCK = threading.Lock()
 _CACHE: dict = {}
 
 _CXX = os.environ.get("CXX", "g++")
-_FLAGS = ["-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", "-fopenmp"]
+# B2F_NATIVE_ARCH overrides the -march tuning (e.g. "x86-64-v2" for
+# artifacts shared across heterogeneous hosts; "none" drops the flag)
+_ARCH = os.environ.get("B2F_NATIVE_ARCH", "native")
+_FLAGS = (["-O3"] + ([f"-march={_ARCH}"] if _ARCH != "none" else [])
+          + ["-shared", "-fPIC", "-std=c++17", "-fopenmp"])
 
 
 def _source_hash(paths) -> str:
@@ -53,13 +58,16 @@ def load_library(name: str, extra_sources=(), extra_flags=()) -> Optional[ctypes
                 subprocess.run(cmd, check=True, capture_output=True, text=True)
             except (subprocess.CalledProcessError, FileNotFoundError) as e:
                 msg = getattr(e, "stderr", str(e))
-                print(f"[back2future_tpu.runtime] native build of {name} failed: {msg}")
+                warnings.warn(
+                    f"native build of {name} failed (pure-Python fallback "
+                    f"stays active): {msg}", RuntimeWarning)
                 _CACHE[name] = None
                 return None
         try:
             lib = ctypes.CDLL(str(so_path))
         except OSError as e:
-            print(f"[back2future_tpu.runtime] load of {so_path} failed: {e}")
+            warnings.warn(f"load of {so_path} failed (pure-Python fallback "
+                          f"stays active): {e}", RuntimeWarning)
             lib = None
         _CACHE[name] = lib
         return lib

@@ -222,3 +222,50 @@ class TestLoggerPlot:
         (tmp_path / "x.log").write_text("a\n")
         with pytest.raises((ValueError, FileNotFoundError)):
             SymbolLogger(tmp_path / "empty.log").plot()
+
+
+class TestShapeBuckets:
+    """/64-grid shape-bucket policy: same-bucket inputs share one
+    compiled executable silently; a second bucket warns about the fresh
+    compile; warmup() pre-registers buckets so later calls don't warn."""
+
+    def _cf(self):
+        opt = small_opt()
+        _, cfg, params = small_model_and_params(opt)
+        return init((params, cfg), dtype="float32")
+
+    def test_same_bucket_no_warning(self):
+        import warnings
+
+        cf = self._cf()
+        rng = np.random.default_rng(0)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            for w in (130, 140, 180):  # all snap to the same 64x128 grid
+                ims = [rng.random((96, w, 3)).astype(np.float32)
+                       for _ in range(3)]
+                cf(*ims)
+
+    def test_new_bucket_warns_once(self):
+        cf = self._cf()
+        rng = np.random.default_rng(0)
+        ims = [rng.random((96, 130, 3)).astype(np.float32)
+               for _ in range(3)]
+        cf(*ims)
+        with pytest.warns(UserWarning, match="shape bucket"):
+            ims2 = [rng.random((96, 200, 3)).astype(np.float32)
+                    for _ in range(3)]
+            cf(*ims2)
+
+    def test_warmup_precompiles(self):
+        import warnings
+
+        cf = self._cf()
+        cf.warmup([(96, 130), (96, 200)])
+        rng = np.random.default_rng(0)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            for w in (130, 200):
+                ims = [rng.random((96, w, 3)).astype(np.float32)
+                       for _ in range(3)]
+                cf(*ims)

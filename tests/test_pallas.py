@@ -172,7 +172,7 @@ class TestWarpDImagesKernel:
         from back2future_tpu.ops import warp as warp_mod
 
         if force_pallas:
-            monkeypatch.setenv("B2F_FORCE_PALLAS", "1")
+            monkeypatch.setenv("B2F_DIMG_PALLAS", "1")
         else:
             monkeypatch.setattr(warp_mod, "_pallas_dimg_enabled", lambda: False)
         return np.asarray(jax.grad(lambda im: jnp.sum(
