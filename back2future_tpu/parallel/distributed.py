@@ -69,6 +69,43 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
         pass
 
 
+_SYNC_COUNTER = [0]
+
+
+def sync_hosts(mesh: Mesh) -> None:
+    """Align all hosts, then establish the cross-host collective context
+    with a trivial all-reduce.
+
+    Rationale: the first collective a cluster executes triggers the
+    communicator rendezvous, whose timeout (30 s for XLA:CPU's Gloo) is
+    much shorter than a big train-step compile — if hosts reach their
+    first step seconds-to-minutes apart (compile skew, import skew), the
+    fast host times out. Pairing a coordination-service barrier (long
+    timeout) with a sub-second collective creates the communicator while
+    the hosts are tightly aligned; the train step then starts from a
+    synchronized clock on every host. No-op single-host."""
+    if jax.process_count() == 1:
+        return
+    try:
+        from jax._src import distributed as _dist
+
+        client = _dist.global_state.client
+    except Exception:
+        client = None
+    if client is not None:
+        # unique id per call: the coordination service rejects reuse, and
+        # hosts call in lockstep so the deterministic counter agrees
+        _SYNC_COUNTER[0] += 1
+        client.wait_at_barrier(f"b2f_sync_hosts_{_SYNC_COUNTER[0]}",
+                               timeout_in_ms=600_000)
+    ones = np.ones((len(jax.local_devices()), 1), np.float32)
+    tot = None
+    with mesh:
+        tot = jax.jit(lambda v: v.sum())(
+            make_global_batch({"x": ones}, mesh)["x"])
+    np.asarray(tot)  # device->host fetch = completion barrier
+
+
 def host_local_batch_size(global_batch: int) -> int:
     n = jax.process_count()
     if global_batch % n:

