@@ -39,8 +39,11 @@ def main() -> None:
     opt = Options(compute_dtype="bfloat16").derive()
     model = PWCNet(pwc_config_from_options(opt))
 
-    batch = 16  # measured throughput knee on v5e (B=8: 204/s, B=16: 255/s,
-    #             B=32: 174/s — larger batches blow past the VMEM/HBM sweet spot)
+    import os
+
+    # B=16 is the measured dispatch-amortization knee on v5e (see
+    # BENCHMARKS.md batch scan); B2F_BENCH_BATCH overrides for scans
+    batch = int(os.environ.get("B2F_BENCH_BATCH", "16"))
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(batch, H, W, 9).astype(np.float32))
 
