@@ -176,12 +176,42 @@ class PWCNet(nn.Module):
         if cfg.siamese == 1:
             if cfg.skip == 0:
                 cs[1] = self._feats[1](x)
-            for ll in range(2, cfg.levels + 1):
+            start = 2
+            if self._stem_fusable(cs[1]):
+                cs[2], cs[3] = self._stem(cs[1])
+                start = 4
+            for ll in range(start, cfg.levels + 1):
                 cs[ll] = self._feats[ll](cs[ll - 1])
         else:
             for ll in range(2, cfg.levels + 1):
                 cs[ll] = avg_pool2(cs[ll - 1])
         return cs
+
+    def _stem_fusable(self, x) -> bool:
+        """Whether levels 2+3 can run through the fused Pallas stem
+        (ops/stem_pallas.py): default feature dims, raw 3-channel input
+        (skip!=0 so no feat_1 stage), lane-aligned spatial dims, and the
+        kernel enabled (on by default on TPU; B2F_STEM_PALLAS gates)."""
+        from ..ops.stem_pallas import stem_eligible, stem_pallas_enabled
+
+        cfg = self.cfg
+        fm = cfg.feat_maps
+        return (cfg.skip != 0 and cfg.levels >= 3 and x.shape[-1] == 3
+                and stem_eligible(x.shape[1], x.shape[2], 3, fm[1], fm[2])
+                and stem_pallas_enabled())
+
+    def _stem(self, x):
+        """Levels 2+3 via the fused kernel; the ConvUnits' own params are
+        read directly so checkpoints/converter/surgery are unaffected.
+        During init the plain modules run so the params get created."""
+        from ..ops.stem_pallas import fused_stem
+
+        if self.is_initializing():
+            f2 = self._feats[2](x)
+            return f2, self._feats[3](f2)
+        p2 = self._feats[2].variables["params"]
+        p3 = self._feats[3].variables["params"]
+        return fused_stem(x, p2, p3, self.cfg.dtype)
 
     def __call__(self, x: jax.Array) -> List[Dict[str, Any]]:
         cfg = self.cfg

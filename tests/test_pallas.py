@@ -198,3 +198,84 @@ class TestWarpDImagesKernel:
         want = self._d_images(img, flow, g, False, monkeypatch)
         got = self._d_images(img, flow, g, True, monkeypatch)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+class TestStemPallas:
+    """Fused levels-2+3 stem kernel (ops/stem_pallas.py) vs the XLA conv
+    chain, in interpret mode. The kernel is measured-slower end-to-end
+    (BENCHMARKS.md stem ledger) and defaults off; it stays correct and
+    opt-in via B2F_STEM_PALLAS=1."""
+
+    def _params(self, seed=0):
+        rng = np.random.default_rng(seed)
+
+        def conv(ci, co):
+            return {"conv": {
+                "kernel": jnp.asarray(
+                    rng.normal(size=(3, 3, ci, co)).astype(np.float32) * 0.2),
+                "bias": jnp.asarray(
+                    rng.normal(size=(co,)).astype(np.float32) * 0.1)}}
+
+        return ({"c0": conv(3, 16), "c1": conv(16, 16)},
+                {"c0": conv(16, 32), "c1": conv(32, 32)})
+
+    @pytest.mark.parametrize("shape", [(2, 16, 64), (1, 32, 128)])
+    def test_forward_matches_xla(self, shape, monkeypatch):
+        from back2future_tpu.ops.stem_pallas import (
+            fused_stem, _stem_xla, stem_eligible)
+
+        monkeypatch.setenv("B2F_STEM_PALLAS", "1")
+        b, h, w = shape
+        assert stem_eligible(h, w, 3, 16, 32)
+        p2, p3 = self._params()
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((b, h, w, 3)).astype(np.float32))
+        f2p, f3p = fused_stem(x, p2, p3, jnp.float32)
+        f2x, f3x = _stem_xla(x, p2, p3, jnp.float32)
+        np.testing.assert_allclose(np.asarray(f2p), np.asarray(f2x),
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(f3p), np.asarray(f3x),
+                                   rtol=1e-5, atol=1e-4)
+
+    def test_grads_match_xla(self, monkeypatch):
+        from back2future_tpu.ops.stem_pallas import fused_stem, _stem_xla
+
+        monkeypatch.setenv("B2F_STEM_PALLAS", "1")
+        p2, p3 = self._params()
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((1, 16, 64, 3)).astype(np.float32))
+
+        def loss(fn):
+            def f(x, p2, p3):
+                f2, f3 = fn(x, p2, p3, jnp.float32)
+                return jnp.sum(f2 ** 2) + jnp.sum(f3 ** 2)
+            return jax.grad(f, argnums=(0, 1, 2))(x, p2, p3)
+
+        got = loss(fused_stem)
+        want = loss(_stem_xla)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-3),
+            got, want)
+
+    def test_model_integration_matches(self, monkeypatch):
+        """PWCNet output with the fused stem == plain XLA path."""
+        from back2future_tpu.models import PWCConfig, PWCNet
+
+        cfg = PWCConfig(frames=3, levels=5, win=3, skip=2)
+        model = PWCNet(cfg)
+        rng = np.random.default_rng(3)
+        x = jnp.asarray(rng.standard_normal((1, 16, 64, 9)).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), x)
+
+        monkeypatch.setenv("B2F_STEM_PALLAS", "0")
+        want = model.apply(params, x)
+        monkeypatch.setenv("B2F_STEM_PALLAS", "1")
+        got = model.apply(params, x)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g["flow"]),
+                                       np.asarray(w["flow"]),
+                                       rtol=1e-4, atol=1e-4)
+            np.testing.assert_allclose(np.asarray(g["occ"]),
+                                       np.asarray(w["occ"]),
+                                       rtol=1e-4, atol=1e-4)
