@@ -158,6 +158,9 @@ def init(model: Optional[object] = "Ours-Soft-ft-KITTI",
     import jax.numpy as jnp
 
     from .models.pwc import PWCConfig, PWCNet
+    from .utils import enable_compile_cache
+
+    enable_compile_cache()
 
     if isinstance(model, tuple):
         params, config = model
@@ -167,7 +170,7 @@ def init(model: Optional[object] = "Ours-Soft-ft-KITTI",
         config = PWCConfig(dtype=jnp.bfloat16 if dtype == "bfloat16"
                            else jnp.float32)
         net = PWCNet(config)
-        params = net.init(jax.random.PRNGKey(0),
+        params = jax.jit(net.init)(jax.random.PRNGKey(0),
                           jnp.zeros((1, 64, 128, 3 * config.frames)))["params"]
         return FlowEstimator(params, config, dtype)
 

@@ -229,7 +229,7 @@ def load_or_convert(opt: Options, rng=None):
             assert opt.past_flow, "convert_to_soft requires past_flow"
             model = PWCNet(cfg)
             h = 2 ** (opt.levels - 1)
-            soft_params = model.init(
+            soft_params = jax.jit(model.init)(
                 rng, jnp.zeros((1, h, 2 * h, 3 * opt.frames)))["params"]
             params = convert_hard_to_soft(hard_params, soft_params)
         else:
@@ -238,5 +238,6 @@ def load_or_convert(opt: Options, rng=None):
 
     model = PWCNet(cfg)
     h = 2 ** (opt.levels - 1)
-    params = model.init(rng, jnp.zeros((1, h, 2 * h, 3 * opt.frames)))["params"]
+    params = jax.jit(model.init)(
+        rng, jnp.zeros((1, h, 2 * h, 3 * opt.frames)))["params"]
     return params, cfg, opt.epochNumber

@@ -35,7 +35,9 @@ def main() -> None:
 
     from back2future_tpu.config import Options
     from back2future_tpu.models.pwc import PWCNet, pwc_config_from_options
+    from back2future_tpu.utils import enable_compile_cache
 
+    enable_compile_cache()
     opt = Options(compute_dtype="bfloat16").derive()
     model = PWCNet(pwc_config_from_options(opt))
 
@@ -47,7 +49,7 @@ def main() -> None:
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(batch, H, W, 9).astype(np.float32))
 
-    params = model.init(jax.random.PRNGKey(0),
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
                         jnp.zeros((1, 64, 128, 9), jnp.float32))["params"]
 
     @jax.jit

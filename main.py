@@ -13,11 +13,12 @@ import sys
 
 from back2future_tpu.config import parse_args
 from back2future_tpu.train.loop import run
-from back2future_tpu.utils import TeeLogger
+from back2future_tpu.utils import TeeLogger, enable_compile_cache
 
 
 def main(argv=None) -> None:
     opt = parse_args(argv)
+    enable_compile_cache()
     with TeeLogger(f"{opt.save}/log"):
         print(opt.to_json())
         run(opt)

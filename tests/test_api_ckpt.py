@@ -269,3 +269,55 @@ class TestShapeBuckets:
                 ims = [rng.random((96, w, 3)).astype(np.float32)
                        for _ in range(3)]
                 cf(*ims)
+
+
+class TestCompileCache:
+    """Persistent-XLA-cache helper (utils/compile_cache.py): verified on
+    hardware that serialized executables round-trip through the TPU
+    relay (fresh-process cache hit, ~1 ms vs minutes); here we check the
+    helper's wiring hermetically on CPU."""
+
+    def test_enable_creates_dir_and_populates(self, tmp_path):
+        from back2future_tpu.utils import enable_compile_cache
+
+        cache = tmp_path / "xla"
+        old = jax.config.jax_compilation_cache_dir
+        old_sz = jax.config.jax_persistent_cache_min_entry_size_bytes
+        old_t = jax.config.jax_persistent_cache_min_compile_time_secs
+        try:
+            # force caching of even a trivial executable
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+            got = enable_compile_cache(cache)
+            assert got == str(cache) and cache.is_dir()
+            # unique constant so this HLO can't already sit in the
+            # session's in-memory executable cache (which would skip
+            # the persistent write)
+            salt = float(abs(hash(str(tmp_path))) % 100000)
+            f = jax.jit(lambda x: x * 2.0 + salt)
+            np.testing.assert_allclose(
+                np.asarray(f(jnp.ones((4, 4)))), 2.0 + salt)
+            assert list(cache.iterdir()), "no cache entry written"
+        finally:
+            jax.config.update("jax_compilation_cache_dir", old)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", old_sz)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", old_t)
+
+    def test_disable_via_env(self, monkeypatch, tmp_path):
+        from back2future_tpu.utils import enable_compile_cache
+
+        monkeypatch.setenv("B2F_COMPILE_CACHE", "0")
+        assert enable_compile_cache(tmp_path / "nope") is None
+        assert not (tmp_path / "nope").exists()
+
+    def test_env_overrides_dir(self, monkeypatch, tmp_path):
+        from back2future_tpu.utils import enable_compile_cache
+
+        old = jax.config.jax_compilation_cache_dir
+        try:
+            monkeypatch.setenv("B2F_COMPILE_CACHE", str(tmp_path / "envdir"))
+            got = enable_compile_cache()
+            assert got == str(tmp_path / "envdir")
+            assert (tmp_path / "envdir").is_dir()
+        finally:
+            jax.config.update("jax_compilation_cache_dir", old)

@@ -37,6 +37,10 @@ def main(argv=None) -> None:
 
     import jax
 
+    from back2future_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
+
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 

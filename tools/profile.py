@@ -75,6 +75,10 @@ def main(argv=None) -> None:
 
     import numpy as np
     import jax
+
+    from back2future_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from back2future_tpu.config import Options
@@ -84,7 +88,7 @@ def main(argv=None) -> None:
                   use_pallas=not args.no_pallas, batchSize=args.batch,
                   frames=args.frames).derive()
     model = PWCNet(pwc_config_from_options(opt))
-    params = model.init(jax.random.PRNGKey(0),
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
                         jnp.zeros((1, 64, 128, 3 * opt.frames)))["params"]
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(args.batch, args.height, args.width,

@@ -24,6 +24,10 @@ def main(argv=None) -> None:
 
     import numpy as np
     import jax
+
+    from back2future_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from back2future_tpu.config import Options
@@ -35,7 +39,7 @@ def main(argv=None) -> None:
     opt = Options(optimize="pme", compute_dtype="bfloat16",
                   batchSize=args.batch).derive()
     model = PWCNet(pwc_config_from_options(opt))
-    params = model.init(jax.random.PRNGKey(0),
+    params = jax.jit(model.init)(jax.random.PRNGKey(0),
                         jnp.zeros((1, 64, 128, 3 * opt.frames)))["params"]
     crits = build_criterions(opt)
     state = create_train_state(params, opt)
