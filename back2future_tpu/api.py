@@ -57,7 +57,10 @@ class FlowEstimator:
     triggers a fresh XLA compile, which through the TPU relay takes
     minutes; mixed-resolution streams should either stick to one
     resolution or pre-compile their buckets up front with `warmup()`.
-    A warning is emitted the first time a second bucket appears."""
+    A warning is emitted the first time a second bucket appears. The
+    persistent compilation cache (utils/compile_cache.py, enabled by
+    `init()`) makes each bucket's compile a once-per-machine cost
+    rather than once-per-process."""
 
     def __init__(self, params, config, dtype: str = "bfloat16"):
         import jax

@@ -86,6 +86,53 @@ def load_manifest(path: str | Path, ground_truth: bool,
     return specs
 
 
+def load_manifest_cached(path: str | Path, ground_truth: bool,
+                         root: Optional[str] = None,
+                         cache_dir: Optional[str | Path] = None
+                         ) -> List[SampleSpec]:
+    """load_manifest with an on-disk metadata cache (donkey.lua:27-33).
+
+    The reference torch.save()s the constructed dataset table into
+    ``opt.cache`` and reloads it on later runs, warning the user to
+    delete it by hand if the data changed; here the cache is keyed by
+    the manifest's (mtime, size) plus the (root, ground_truth) parse
+    parameters, so staleness is detected automatically. Disable with
+    ``B2F_MANIFEST_CACHE=0``. Falls back to a plain parse on any cache
+    problem (a cache must never be able to fail a run)."""
+    import json
+    import os
+
+    path = Path(path)
+    if (cache_dir is None
+            or os.environ.get("B2F_MANIFEST_CACHE", "").strip().lower()
+            in ("0", "false", "no", "off")):
+        return load_manifest(path, ground_truth, root)
+
+    st = path.stat()
+    key = {"mtime": st.st_mtime, "size": st.st_size,
+           "root": root or "", "ground_truth": bool(ground_truth)}
+    cache_file = Path(cache_dir) / f"{path.stem}_manifestCache.json"
+    try:
+        blob = json.loads(cache_file.read_text())
+        if blob["key"] == key:
+            return [SampleSpec(*row) for row in blob["specs"]]
+    except (OSError, ValueError, KeyError, TypeError):
+        pass
+
+    specs = load_manifest(path, ground_truth, root)
+    try:
+        cache_file.parent.mkdir(parents=True, exist_ok=True)
+        tmp = cache_file.with_suffix(".tmp")
+        tmp.write_text(json.dumps({
+            "key": key,
+            "specs": [[s.image_pattern, s.flow_pattern, s.ref, s.skip]
+                      for s in specs]}))
+        tmp.replace(cache_file)
+    except OSError:
+        pass
+    return specs
+
+
 def load_split(path: str | Path) -> Tuple[np.ndarray, np.ndarray]:
     """Read `<name>_split.dat` -> (train_indices, val_indices), 0-based
     positions into the manifest list (donkey.lua:81-94: 1=train, 2=val)."""

@@ -21,7 +21,7 @@ import numpy as np
 
 from ..config import Options
 from ..data import (FlowDataset, PrefetchLoader, SampleConfig, device_prefetch,
-                    load_manifest, load_split)
+                    load_manifest_cached, load_split)
 from ..losses import build_criterions
 from ..models.pwc import PWCNet, pwc_config_from_options
 from ..models.spynet import SPyNet, spynet_config_from_options
@@ -53,8 +53,9 @@ def build_loaders(opt: Options, shard=(0, 1)):
     eval_epoch logs how many samples that skips."""
     manifest = Path(opt.datasets_dir) / f"{opt.dataset}.dat"
     split = Path(opt.datasets_dir) / f"{opt.dataset}_split.dat"
-    specs = load_manifest(manifest, opt.ground_truth,
-                          root=opt.data_root or None)
+    specs = load_manifest_cached(manifest, opt.ground_truth,
+                                 root=opt.data_root or None,
+                                 cache_dir=opt.cache)
     if split.exists():
         train_idx, val_idx = load_split(split)
     else:

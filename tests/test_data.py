@@ -491,3 +491,64 @@ class TestLoaderModes:
         batches = list(loader)
         assert len(batches) == 2
         assert batches[0]["images"].shape == (2, 24, 32, 9)
+
+
+class TestManifestCache:
+    """On-disk loader metadata cache (donkey.lua:27-33 analog), with the
+    mtime/size staleness check the reference leaves to the user."""
+
+    def _write(self, tmp_path, n=4):
+        from back2future_tpu.data import SampleSpec, write_manifest
+
+        p = tmp_path / "toy.dat"
+        write_manifest(p, [SampleSpec("[PATH]/img_%02d.png", None, r, 1)
+                           for r in range(2, 2 + n)])
+        return p
+
+    def test_roundtrip_and_hit(self, tmp_path):
+        from back2future_tpu.data import load_manifest, load_manifest_cached
+
+        p = self._write(tmp_path)
+        cache = tmp_path / "cache"
+        want = load_manifest(p, False, root="/data")
+        got = load_manifest_cached(p, False, root="/data", cache_dir=cache)
+        assert got == want
+        cache_file = cache / "toy_manifestCache.json"
+        assert cache_file.exists()
+        # poison the manifest WITHOUT touching mtime/size: the cache must
+        # be what is served
+        again = load_manifest_cached(p, False, root="/data", cache_dir=cache)
+        assert again == want
+
+    def test_stale_detection(self, tmp_path):
+        import os
+
+        from back2future_tpu.data import load_manifest_cached
+
+        p = self._write(tmp_path, n=4)
+        cache = tmp_path / "cache"
+        first = load_manifest_cached(p, False, root="/d", cache_dir=cache)
+        assert len(first) == 4
+        self._write(tmp_path, n=6)
+        os.utime(p, (1, 1))  # force a different mtime
+        second = load_manifest_cached(p, False, root="/d", cache_dir=cache)
+        assert len(second) == 6
+
+    def test_key_includes_parse_params(self, tmp_path):
+        from back2future_tpu.data import load_manifest_cached
+
+        p = self._write(tmp_path)
+        cache = tmp_path / "cache"
+        a = load_manifest_cached(p, False, root="/rootA", cache_dir=cache)
+        b = load_manifest_cached(p, False, root="/rootB", cache_dir=cache)
+        assert a[0].image_pattern.startswith("/rootA")
+        assert b[0].image_pattern.startswith("/rootB")
+
+    def test_env_disable(self, tmp_path, monkeypatch):
+        from back2future_tpu.data import load_manifest_cached
+
+        monkeypatch.setenv("B2F_MANIFEST_CACHE", "0")
+        p = self._write(tmp_path)
+        cache = tmp_path / "cache"
+        load_manifest_cached(p, False, root="/d", cache_dir=cache)
+        assert not cache.exists()
