@@ -60,16 +60,27 @@ class FlowEstimator:
     A warning is emitted the first time a second bucket appears. The
     persistent compilation cache (utils/compile_cache.py, enabled by
     `init()`) makes each bucket's compile a once-per-machine cost
-    rather than once-per-process."""
+    rather than once-per-process.
 
-    def __init__(self, params, config, dtype: str = "bfloat16"):
+    Scale-out (beyond the reference's single-GPU computeFlow): pass a
+    `jax.sharding.Mesh` to serve on several chips — params are
+    replicated, the batch is sharded over the mesh's 'data' axis, and
+    with `spatial=True` (a mesh with a 'spatial' axis) image rows are
+    sharded too, XLA inserting the halo exchanges — the same sharding
+    contract the training step runs under (parallel/mesh.py)."""
+
+    def __init__(self, params, config, dtype: str = "bfloat16",
+                 mesh=None, spatial: bool = False):
         import jax
 
         from .models.pwc import PWCNet
+        from .parallel.mesh import replicate
 
         self.config = config
         self.model = PWCNet(config)
-        self.params = params
+        self.mesh = mesh
+        self.spatial = spatial
+        self.params = replicate(params, mesh) if mesh is not None else params
         self._jit = jax.jit(
             lambda p, x: self._finest(self.model.apply({"params": p}, x)))
         self._seen_buckets: set = set()
@@ -80,6 +91,10 @@ class FlowEstimator:
         return g["flow"], g["occ"]
 
     def _forward(self, x):
+        if self.mesh is not None:
+            from .parallel.mesh import shard_batch
+
+            x = shard_batch(x, self.mesh, spatial=self.spatial)
         bucket = x.shape[1:3]
         if bucket not in self._seen_buckets:
             self._seen_buckets.add(bucket)
@@ -112,41 +127,78 @@ class FlowEstimator:
         Returns (flow (H,W,2) float32 raw network units,
                  fwd_occ (H,W) bool, bwd_occ (H,W) bool).
         """
+        flows, fwd_occs, bwd_occs = self.compute_flow_batch(
+            np.asarray(im1, np.float32)[None],
+            np.asarray(im2, np.float32)[None],
+            np.asarray(im3, np.float32)[None])
+        return flows[0], fwd_occs[0], bwd_occs[0]
+
+    def compute_flow_batch(self, im1s, im2s, im3s
+                           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Batched compute_flow — beyond the reference's one-triplet
+        computeFlow: each argument is (B, H, W, 3) (or a list of (H, W, 3)
+        images), all the same resolution, values in [0,1]. One jitted
+        forward serves the whole batch — the throughput mode the
+        benchmarks run in (bench.py: the single-triplet path leaves >10x
+        on the table at serving scale). On a mesh the batch is padded up
+        to a multiple of the 'data' axis (replicating the last sample;
+        padding is trimmed from the results).
+
+        Returns (flows (B,H,W,2) float32 raw network units,
+                 fwd_occs (B,H,W) bool, bwd_occs (B,H,W) bool)."""
         import jax.numpy as jnp
 
-        imgs = np.concatenate([np.asarray(im, np.float32) for im in
-                               (im1, im2, im3)], axis=-1)
+        stacks = [np.stack([np.asarray(im, np.float32) for im in ims])
+                  if not isinstance(ims, np.ndarray) else
+                  np.asarray(ims, np.float32) for ims in (im1s, im2s, im3s)]
+        imgs = np.concatenate(stacks, axis=-1)          # (B, H, W, 3F)
         if imgs.shape[-1] != 3 * self.config.frames:
             raise ValueError(
                 f"model expects {self.config.frames} frames "
                 f"({3 * self.config.frames} channels), got {imgs.shape[-1]}")
         imgs = color_normalize(imgs)
 
-        height, width = imgs.shape[:2]
+        n, height, width = imgs.shape[:3]
         fine_h, fine_w = _round_down_64(height), _round_down_64(width)
         if (fine_h, fine_w) != (height, width):
-            imgs = resize(imgs, fine_h, fine_w, "bilinear")
+            imgs = np.stack([resize(im, fine_h, fine_w, "bilinear")
+                             for im in imgs])
 
-        flow, occ = self._forward(jnp.asarray(imgs)[None])
-        flow = np.asarray(flow[0], np.float32)
-        occ = np.asarray(occ[0], np.float32)
+        pad = 0
+        if self.mesh is not None:
+            data_n = self.mesh.shape.get("data", 1)
+            pad = (-n) % data_n
+            if pad:
+                imgs = np.concatenate(
+                    [imgs, np.repeat(imgs[-1:], pad, axis=0)])
+
+        flow_d, occ_d = self._forward(jnp.asarray(imgs))
+        flow_b = np.asarray(flow_d, np.float32)[:n]
+        occ_b = np.asarray(occ_d, np.float32)[:n]
 
         # resize flow back, scaling components by the resize ratio
-        sc_h = height / flow.shape[0]
-        sc_w = width / flow.shape[1]
-        flow = resize(flow, height, width, "simple")
-        flow[..., 0] *= sc_w
-        flow[..., 1] *= sc_h
-
-        fwd_occ = resize((occ[..., 1] >= OCC_THRESHOLD).astype(np.float32),
-                         height, width, "simple") > 0.5
-        bwd_occ = resize((occ[..., 0] >= OCC_THRESHOLD).astype(np.float32),
-                         height, width, "simple") > 0.5
-        return flow, fwd_occ, bwd_occ
+        sc_h = height / flow_b.shape[1]
+        sc_w = width / flow_b.shape[2]
+        flows = np.empty((n, height, width, 2), np.float32)
+        fwd_occs = np.empty((n, height, width), bool)
+        bwd_occs = np.empty((n, height, width), bool)
+        for i in range(n):
+            f = resize(flow_b[i], height, width, "simple")
+            f[..., 0] *= sc_w
+            f[..., 1] *= sc_h
+            flows[i] = f
+            fwd_occs[i] = resize(
+                (occ_b[i, ..., 1] >= OCC_THRESHOLD).astype(np.float32),
+                height, width, "simple") > 0.5
+            bwd_occs[i] = resize(
+                (occ_b[i, ..., 0] >= OCC_THRESHOLD).astype(np.float32),
+                height, width, "simple") > 0.5
+        return flows, fwd_occs, bwd_occs
 
 
 def init(model: Optional[object] = "Ours-Soft-ft-KITTI",
-         dtype: str = "bfloat16") -> Callable:
+         dtype: str = "bfloat16", mesh=None, spatial: bool = False
+         ) -> Callable:
     """Load a model and return its compute_flow callable
     (back2future.lua:97-129).
 
@@ -167,7 +219,7 @@ def init(model: Optional[object] = "Ours-Soft-ft-KITTI",
 
     if isinstance(model, tuple):
         params, config = model
-        return FlowEstimator(params, config, dtype)
+        return FlowEstimator(params, config, dtype, mesh, spatial)
 
     if model is None:
         config = PWCConfig(dtype=jnp.bfloat16 if dtype == "bfloat16"
@@ -175,7 +227,7 @@ def init(model: Optional[object] = "Ours-Soft-ft-KITTI",
         net = PWCNet(config)
         params = jax.jit(net.init)(jax.random.PRNGKey(0),
                           jnp.zeros((1, 64, 128, 3 * config.frames)))["params"]
-        return FlowEstimator(params, config, dtype)
+        return FlowEstimator(params, config, dtype, mesh, spatial)
 
     path = PRETRAINED_PATHS.get(str(model), str(model))
     if not Path(path).exists():
@@ -185,4 +237,4 @@ def init(model: Optional[object] = "Ours-Soft-ft-KITTI",
     from .train.checkpoint import load_model_checkpoint
 
     params, config = load_model_checkpoint(path)
-    return FlowEstimator(params, config, dtype)
+    return FlowEstimator(params, config, dtype, mesh, spatial)

@@ -321,3 +321,74 @@ class TestCompileCache:
             assert (tmp_path / "envdir").is_dir()
         finally:
             jax.config.update("jax_compilation_cache_dir", old)
+
+
+class TestServingMesh:
+    """Mesh-sharded batched serving — the scale-out mode the reference's
+    single-GPU computeFlow (back2future.lua:47-95) has no analog of."""
+
+    def _estimator(self, mesh=None, spatial=False):
+        opt = small_opt()
+        _, cfg, params = small_model_and_params(opt)
+        return FlowEstimator(params, cfg, dtype="float32",
+                             mesh=mesh, spatial=spatial)
+
+    def _triplets(self, b, h=64, w=128, seed=1):
+        rng = np.random.default_rng(seed)
+        return [rng.random((b, h, w, 3)).astype(np.float32)
+                for _ in range(3)]
+
+    def test_batch_matches_single(self):
+        est = self._estimator()
+        ims = self._triplets(2, h=96, w=130)  # exercises the /64 resize too
+        flows, fo, bo = est.compute_flow_batch(*ims)
+        assert flows.shape == (2, 96, 130, 2)
+        f0, fo0, bo0 = est(ims[0][0], ims[1][0], ims[2][0])
+        np.testing.assert_allclose(flows[0], f0, rtol=1e-5, atol=1e-5)
+        assert (fo[0] == fo0).all() and (bo[0] == bo0).all()
+
+    def test_list_inputs(self):
+        est = self._estimator()
+        ims = self._triplets(2)
+        flows, _, _ = est.compute_flow_batch(
+            list(ims[0]), list(ims[1]), list(ims[2]))
+        ref, _, _ = est.compute_flow_batch(*ims)
+        np.testing.assert_array_equal(flows, ref)
+
+    def test_mesh_data_sharded_with_padding(self):
+        from back2future_tpu.parallel.mesh import make_mesh
+
+        ims = self._triplets(5)  # 5 % 8 != 0 -> pads to 8, trims back
+        ref_est = self._estimator()
+        want, wfo, wbo = ref_est.compute_flow_batch(*ims)
+
+        mesh = make_mesh(shape=(8,), axes=("data",))
+        est = self._estimator(mesh=mesh)
+        got, gfo, gbo = est.compute_flow_batch(*ims)
+        assert got.shape == (5, 64, 128, 2)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+        assert (gfo == wfo).all() and (gbo == wbo).all()
+
+    def test_mesh_spatial_sharded(self):
+        from back2future_tpu.parallel.mesh import make_mesh
+
+        ims = self._triplets(4)
+        ref_est = self._estimator()
+        want, _, _ = ref_est.compute_flow_batch(*ims)
+
+        mesh = make_mesh(shape=(4, 2), axes=("data", "spatial"))
+        est = self._estimator(mesh=mesh, spatial=True)
+        got, _, _ = est.compute_flow_batch(*ims)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_single_triplet_through_mesh(self):
+        from back2future_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(shape=(8,), axes=("data",))
+        est = self._estimator(mesh=mesh)
+        rng = np.random.default_rng(3)
+        ims = [rng.random((64, 128, 3)).astype(np.float32)
+               for _ in range(3)]
+        flow, fwd_occ, bwd_occ = est(*ims)
+        assert flow.shape == (64, 128, 2)
+        assert np.isfinite(flow).all()
