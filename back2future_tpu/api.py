@@ -24,7 +24,6 @@ checkpoints under `models/` when present.
 
 from __future__ import annotations
 
-import functools
 from pathlib import Path
 from typing import Callable, Optional, Tuple
 

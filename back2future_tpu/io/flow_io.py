@@ -14,7 +14,6 @@ Formats (reference: flowExtensions.lua:241-332):
 from __future__ import annotations
 
 import struct
-from pathlib import Path
 
 import numpy as np
 

@@ -31,7 +31,6 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

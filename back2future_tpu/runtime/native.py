@@ -13,7 +13,6 @@ import ctypes
 import hashlib
 import os
 import subprocess
-import sysconfig
 import threading
 import warnings
 from pathlib import Path

@@ -10,7 +10,6 @@ set False for the (almost certainly intended) persistent-moment behavior.
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import optax
 

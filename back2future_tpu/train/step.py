@@ -10,10 +10,9 @@ util.lua:27-48, train.lua:493-496).
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 import jax
-import jax.numpy as jnp
 
 from .multiscale import multiscale_loss
 from .metrics import full_res_metrics
