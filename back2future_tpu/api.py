@@ -50,16 +50,17 @@ class FlowEstimator:
     """Stateful wrapper owning the params and the compiled forward.
 
     Shape policy: inputs are snapped DOWN to the /64 grid
-    (back2future.lua:54-71), which is the shape bucket — every input
-    resolution in the same 64x64 cell shares one compiled executable
-    (jax.jit specializes per bucket and caches each). A NEW bucket
-    triggers a fresh XLA compile, which through the TPU relay takes
-    minutes; mixed-resolution streams should either stick to one
-    resolution or pre-compile their buckets up front with `warmup()`.
-    A warning is emitted the first time a second bucket appears. The
-    persistent compilation cache (utils/compile_cache.py, enabled by
-    `init()`) makes each bucket's compile a once-per-machine cost
-    rather than once-per-process.
+    (back2future.lua:54-71) and jax.jit specializes per full input
+    shape — the executable bucket is (batch, H/64-cell, W/64-cell), so
+    inputs sharing a 64x64 resolution cell AND a batch size share one
+    compiled executable. A NEW bucket (a new resolution cell OR a new
+    batch size) triggers a fresh XLA compile, which through the TPU
+    relay takes minutes; serving streams should stick to fixed
+    resolutions and batch sizes, or pre-compile their buckets up front
+    with `warmup()`. A warning is emitted the first time a second
+    bucket appears. The persistent compilation cache
+    (utils/compile_cache.py, enabled by `init()`) makes each bucket's
+    compile a once-per-machine cost rather than once-per-process.
 
     Scale-out (beyond the reference's single-GPU computeFlow): pass a
     `jax.sharding.Mesh` to serve on several chips — params are
@@ -94,29 +95,43 @@ class FlowEstimator:
             from .parallel.mesh import shard_batch
 
             x = shard_batch(x, self.mesh, spatial=self.spatial)
-        bucket = x.shape[1:3]
+        bucket = x.shape[:3]  # (batch, H64, W64) — jit keys on all three
         if bucket not in self._seen_buckets:
             self._seen_buckets.add(bucket)
             if len(self._seen_buckets) > 1:
                 import warnings
 
                 warnings.warn(
-                    f"compute_flow: new /64 shape bucket {bucket} triggers "
-                    f"a fresh XLA compile (minutes through the TPU relay; "
-                    f"buckets seen so far: {sorted(self._seen_buckets)}). "
-                    f"Keep resolutions consistent or pre-compile with "
+                    f"compute_flow: new shape bucket (batch, H, W)="
+                    f"{bucket} triggers a fresh XLA compile (minutes "
+                    f"through the TPU relay; buckets seen so far: "
+                    f"{sorted(self._seen_buckets)}). Keep resolutions AND "
+                    f"batch sizes consistent or pre-compile with "
                     f"FlowEstimator.warmup().", stacklevel=3)
         return self._jit(self.params, x)
 
+    def _padded_batch(self, n: int) -> int:
+        """Batch size after mesh padding (compute_flow_batch pads up to a
+        multiple of the 'data' axis so every batch is shardable)."""
+        if self.mesh is None:
+            return n
+        data_n = self.mesh.shape.get("data", 1)
+        return n + (-n) % data_n
+
     def warmup(self, sizes) -> None:
-        """Pre-compile the /64 buckets for `sizes` = [(height, width), ...]
-        (raw input resolutions; snapped down like compute_flow does)."""
+        """Pre-compile executables for `sizes`, each ``(height, width)``
+        or ``(batch, height, width)`` (raw input resolutions, snapped
+        down to the /64 grid like compute_flow; batch defaults to 1).
+        Warm every (batch, resolution) combination the serving stream
+        will use — jit specializes on batch size too."""
         import jax
         import jax.numpy as jnp
 
-        for h, w in sizes:
-            x = jnp.zeros((1, _round_down_64(h), _round_down_64(w),
-                           3 * self.config.frames), jnp.float32)
+        for size in sizes:
+            b, (h, w) = (1, size) if len(size) == 2 else (size[0], size[1:])
+            x = jnp.zeros((self._padded_batch(b), _round_down_64(h),
+                           _round_down_64(w), 3 * self.config.frames),
+                          jnp.float32)
             jax.block_until_ready(self._forward(x))
 
     def __call__(self, im1: np.ndarray, im2: np.ndarray, im3: np.ndarray

@@ -311,7 +311,8 @@ def _process_worker(loader: "PrefetchLoader", epoch: int, widx: int, n: int,
 
 
 def device_prefetch(host_batches: Iterator[Dict[str, np.ndarray]],
-                    mesh=None, spatial: bool = False, depth: int = 2):
+                    mesh=None, spatial: bool = False, depth: int = 2,
+                    allow_partial: bool = False):
     """Keep `depth` batches in flight on the device/mesh ahead of the
     consumer (the H2D side of the donkey pipeline, train.lua:206-208).
 
@@ -334,7 +335,7 @@ def device_prefetch(host_batches: Iterator[Dict[str, np.ndarray]],
         if multihost:
             from ..parallel.distributed import make_global_batch
             return make_global_batch(b, mesh, spatial)
-        return shard_batch(b, mesh, spatial)
+        return shard_batch(b, mesh, spatial, allow_partial=allow_partial)
 
     buf = collections.deque()
     for hb in host_batches:

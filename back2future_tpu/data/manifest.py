@@ -108,10 +108,16 @@ def load_manifest_cached(path: str | Path, ground_truth: bool,
             in ("0", "false", "no", "off")):
         return load_manifest(path, ground_truth, root)
 
+    import hashlib
+
     st = path.stat()
-    key = {"mtime": st.st_mtime, "size": st.st_size,
+    resolved = str(path.resolve())
+    key = {"path": resolved, "mtime": st.st_mtime, "size": st.st_size,
            "root": root or "", "ground_truth": bool(ground_truth)}
-    cache_file = Path(cache_dir) / f"{path.stem}_manifestCache.json"
+    # cache filename carries a path hash so same-named manifests from
+    # different datasets_dirs sharing one cache_dir don't evict each other
+    tag = hashlib.md5(resolved.encode()).hexdigest()[:8]
+    cache_file = Path(cache_dir) / f"{path.stem}_{tag}_manifestCache.json"
     try:
         blob = json.loads(cache_file.read_text())
         if blob["key"] == key:
@@ -122,7 +128,9 @@ def load_manifest_cached(path: str | Path, ground_truth: bool,
     specs = load_manifest(path, ground_truth, root)
     try:
         cache_file.parent.mkdir(parents=True, exist_ok=True)
-        tmp = cache_file.with_suffix(".tmp")
+        # per-process tmp name: concurrent writers (multi-host shared FS)
+        # must not interleave into one tmp file before the atomic rename
+        tmp = cache_file.with_suffix(f".tmp{os.getpid()}")
         tmp.write_text(json.dumps({
             "key": key,
             "specs": [[s.image_pattern, s.flow_pattern, s.ref, s.skip]

@@ -45,8 +45,15 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
         return  # already initialized
     if coordinator_address is None and os.environ.get("B2F_COORDINATOR"):
         coordinator_address = os.environ["B2F_COORDINATOR"]
-        num_processes = int(os.environ["B2F_NUM_PROCESSES"])
-        process_id = int(os.environ["B2F_PROCESS_ID"])
+        try:
+            num_processes = int(os.environ["B2F_NUM_PROCESSES"])
+            process_id = int(os.environ["B2F_PROCESS_ID"])
+        except KeyError as e:
+            raise ValueError(
+                "B2F_COORDINATOR is set but the cluster spec is "
+                f"incomplete (missing {e.args[0]}): a manual launch needs "
+                "all three of B2F_COORDINATOR=host:port "
+                "B2F_NUM_PROCESSES=n B2F_PROCESS_ID=i") from None
     pod_env = any(os.environ.get(k) for k in
                   ("COORDINATOR_ADDRESS", "JAX_COORDINATOR_ADDRESS",
                    "MEGASCALE_COORDINATOR_ADDRESS"))
@@ -69,10 +76,19 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
         pass
 
 
-_SYNC_COUNTER = [0]
+_SYNC_COUNTERS: Dict[str, int] = {}
 
 
-def sync_hosts(mesh: Mesh) -> None:
+def _coordination_client():
+    try:
+        from jax._src import distributed as _dist
+
+        return _dist.global_state.client
+    except Exception:
+        return None
+
+
+def sync_hosts(mesh: Mesh, tag: str = "startup") -> None:
     """Align all hosts, then establish the cross-host collective context
     with a trivial all-reduce.
 
@@ -83,20 +99,23 @@ def sync_hosts(mesh: Mesh) -> None:
     fast host times out. Pairing a coordination-service barrier (long
     timeout) with a sub-second collective creates the communicator while
     the hosts are tightly aligned; the train step then starts from a
-    synchronized clock on every host. No-op single-host."""
+    synchronized clock on every host. No-op single-host.
+
+    Every host must call with the SAME sequence of `tag`s (barrier names
+    derive from a per-tag counter; asymmetric call counts under one tag
+    would strand hosts at different barriers until the 600 s timeout).
+    Library callers should pass their own tag rather than reusing the
+    train loop's default."""
     if jax.process_count() == 1:
         return
-    try:
-        from jax._src import distributed as _dist
-
-        client = _dist.global_state.client
-    except Exception:
-        client = None
+    client = _coordination_client()
     if client is not None:
-        # unique id per call: the coordination service rejects reuse, and
-        # hosts call in lockstep so the deterministic counter agrees
-        _SYNC_COUNTER[0] += 1
-        client.wait_at_barrier(f"b2f_sync_hosts_{_SYNC_COUNTER[0]}",
+        # unique id per (tag, call): the coordination service rejects
+        # name reuse, and hosts call in lockstep per tag (docstring
+        # contract) so the deterministic counter agrees
+        n = _SYNC_COUNTERS.get(tag, 0) + 1
+        _SYNC_COUNTERS[tag] = n
+        client.wait_at_barrier(f"b2f_sync_hosts_{tag}_{n}",
                                timeout_in_ms=600_000)
     ones = np.ones((len(jax.local_devices()), 1), np.float32)
     tot = None
@@ -104,6 +123,44 @@ def sync_hosts(mesh: Mesh) -> None:
         tot = jax.jit(lambda v: v.sum())(
             make_global_batch({"x": ones}, mesh)["x"])
     np.asarray(tot)  # device->host fetch = completion barrier
+
+
+def assert_same_across_hosts(tag: str, value: str,
+                             timeout_ms: int = 600_000) -> None:
+    """Raise if `value` differs from host 0's value for the same `tag`.
+
+    Used to catch silent cross-host divergence before it corrupts a run —
+    e.g. a `-cont` resume where host 0 finds checkpoint model_N on its
+    local disk but other hosts fresh-init (checkpoints are written by
+    host 0 only; without shared storage the others cannot see them).
+    replicate()'s make_array_from_process_local_data contract requires
+    identical per-host data, so divergence there would silently assemble
+    a corrupt "replicated" array and desynchronize the epoch loops.
+
+    Implemented over the coordination-service KV store (long timeout, no
+    collective): every host publishes its value, waits at a barrier, then
+    compares against host 0's. No-op single-host. Like sync_hosts, all
+    hosts must call with the same sequence of tags."""
+    if jax.process_count() == 1:
+        return
+    client = _coordination_client()
+    if client is None:
+        return
+    pid = jax.process_index()
+    # counter in the key too: the KV store rejects re-setting a key, and
+    # a second check under the same tag must not read round 1's values
+    n = _SYNC_COUNTERS.get(f"same/{tag}", 0) + 1
+    _SYNC_COUNTERS[f"same/{tag}"] = n
+    client.key_value_set(f"b2f_same/{tag}/{n}/{pid}", value)
+    client.wait_at_barrier(f"b2f_same_barrier_{tag}_{n}",
+                           timeout_in_ms=timeout_ms)
+    ref = client.blocking_key_value_get(f"b2f_same/{tag}/{n}/0", timeout_ms)
+    if ref != value:
+        raise RuntimeError(
+            f"cross-host divergence at {tag!r}: host {pid} has "
+            f"{value!r} but host 0 has {ref!r}. For checkpoint resume "
+            f"this usually means opt.save is not on storage shared by "
+            f"all hosts — every host must see the same checkpoints.")
 
 
 def host_local_batch_size(global_batch: int) -> int:

@@ -44,19 +44,32 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh, spatial: bool = False):
+def shard_batch(batch, mesh: Mesh, spatial: bool = False,
+                allow_partial: bool = False):
     """Place a pytree of host arrays onto the mesh, batch-sharded.
 
-    A batch whose leading dim does not divide the 'data' axis (e.g. the
-    final partial validation batch, test.lua:52-64 improved) is
-    replicated instead — correct, just not parallel for that one batch."""
+    A batch whose leading dim does not divide the 'data' axis is only
+    legitimate for the final partial validation batch (test.lua:52-64
+    improved) — pass ``allow_partial=True`` there and the batch is
+    replicated instead (correct, just not parallel for that one batch).
+    On the training path a non-divisible batch is a misconfiguration
+    (every device would redundantly compute the full batch, silently
+    losing the whole data-parallel speedup), so it raises."""
     data_n = mesh.shape.get("data", 1)
     spatial_n = mesh.shape.get("spatial", 1)
 
     def put(x):
         if x is None:
             return None
-        if getattr(x, "ndim", 0) == 0 or x.shape[0] % data_n:
+        if getattr(x, "ndim", 0) == 0:
+            return jax.device_put(x, replicated_sharding(mesh))
+        if x.shape[0] % data_n:
+            if not allow_partial:
+                raise ValueError(
+                    f"batch dim {x.shape[0]} does not divide the mesh's "
+                    f"'data' axis ({data_n}); pick a batch size that is a "
+                    f"multiple of {data_n} (replication fallback is only "
+                    f"allowed for partial eval batches, allow_partial=True)")
             return jax.device_put(x, replicated_sharding(mesh))
         spec = [None] * x.ndim
         spec[0] = "data"

@@ -73,6 +73,15 @@ def build_loaders(opt: Options, shard=(0, 1)):
         n_val_batches = 0
     elif shard[1] == 1:
         n_val_batches = -(-len(val_ds) // opt.batchSize)  # ceil
+        remainder = len(val_ds) % opt.batchSize
+        if remainder and shard[0] == 0:
+            # surface the one-time cost of full-split coverage: the
+            # partial final batch is a second jit specialization of the
+            # full-model eval step (one extra compile, amortized by the
+            # persistent compile cache) and runs replicated on the mesh
+            print(f"validation: final partial batch of {remainder} "
+                  f"samples adds one extra eval-step compile "
+                  f"(full-split coverage; cached across runs)")
     else:
         n_val_batches = len(val_ds) // opt.batchSize
     val_loader = (PrefetchLoader(val_ds, opt.batchSize, n_val_batches,
@@ -241,7 +250,8 @@ def eval_epoch(epoch: int, state: TrainState, eval_step, loader, mesh, opt,
     max_in_flight = max(2, opt.prefetch_depth)
     spatial = "spatial" in mesh.axis_names
     for batch in device_prefetch(iter(loader), mesh, spatial=spatial,
-                                 depth=opt.prefetch_depth):
+                                 depth=opt.prefetch_depth,
+                                 allow_partial=True):
         # the final batch may be partial (single-host ceil coverage);
         # per-batch sample counts weight the aggregation so the epoch
         # metrics are exact over everything evaluated
@@ -268,6 +278,23 @@ def eval_epoch(epoch: int, state: TrainState, eval_step, loader, mesh, opt,
               f"{time.time() - t0:.2f}\taverage loss (per batch): "
               f"{means['loss']:.4f}\tsamples {n_eval}/{n_total}{skipped}")
     return means
+
+
+def _state_fingerprint(params, epoch0: int) -> str:
+    """Order-stable digest of (start epoch, param tree) for cross-host
+    resume-consistency checks."""
+    import hashlib
+
+    import jax
+
+    h = hashlib.md5(str(epoch0).encode())
+    leaves = jax.tree_util.tree_leaves_with_path(params)
+    for path, leaf in sorted(leaves, key=lambda kv: str(kv[0])):
+        arr = np.asarray(leaf)
+        h.update(str(path).encode())
+        h.update(str(arr.shape).encode())
+        h.update(np.ascontiguousarray(arr).tobytes())
+    return h.hexdigest()
 
 
 def run(opt: Options, max_epochs: Optional[int] = None) -> TrainState:
@@ -307,6 +334,15 @@ def run(opt: Options, max_epochs: Optional[int] = None) -> TrainState:
     if state is None:
         params, _cfg, epoch0 = load_or_convert(opt)
         state = create_train_state(params, opt, epoch=epoch0)
+    if n_hosts > 1:
+        # replicate()'s multi-host path assembles the "replicated" params
+        # from per-host copies and REQUIRES them identical; catch silent
+        # divergence (e.g. a -cont resume where only host 0 sees the
+        # checkpoint because opt.save isn't shared storage) before it
+        # corrupts the run
+        from ..parallel.distributed import assert_same_across_hosts
+        assert_same_across_hosts(
+            "resume_state", _state_fingerprint(state.params, epoch0))
     state = state.replace(params=replicate(state.params, mesh),
                           opt_state=replicate(state.opt_state, mesh))
 

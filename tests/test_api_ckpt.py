@@ -270,6 +270,28 @@ class TestShapeBuckets:
                        for _ in range(3)]
                 cf(*ims)
 
+    def test_batch_size_is_a_bucket(self):
+        """jit specializes on batch size too: a new batch size at a known
+        resolution is a new executable and must warn; warming the
+        (batch, h, w) combination silences it."""
+        import warnings
+
+        cf = self._cf()
+        rng = np.random.default_rng(0)
+        one = [rng.random((96, 130, 3)).astype(np.float32)
+               for _ in range(3)]
+        cf(*one)
+        with pytest.warns(UserWarning, match="shape bucket"):
+            two = [np.stack([im, im]) for im in one]
+            cf.compute_flow_batch(*two)
+
+        cf2 = self._cf()
+        cf2.warmup([(1, 96, 130), (2, 96, 130)])
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            cf2(*one)
+            cf2.compute_flow_batch(*[np.stack([im, im]) for im in one])
+
 
 class TestCompileCache:
     """Persistent-XLA-cache helper (utils/compile_cache.py): verified on

@@ -501,6 +501,7 @@ class TestManifestCache:
         from back2future_tpu.data import SampleSpec, write_manifest
 
         p = tmp_path / "toy.dat"
+        p.parent.mkdir(parents=True, exist_ok=True)
         write_manifest(p, [SampleSpec("[PATH]/img_%02d.png", None, r, 1)
                            for r in range(2, 2 + n)])
         return p
@@ -513,12 +514,26 @@ class TestManifestCache:
         want = load_manifest(p, False, root="/data")
         got = load_manifest_cached(p, False, root="/data", cache_dir=cache)
         assert got == want
-        cache_file = cache / "toy_manifestCache.json"
-        assert cache_file.exists()
+        assert list(cache.glob("toy_*_manifestCache.json"))
         # poison the manifest WITHOUT touching mtime/size: the cache must
         # be what is served
         again = load_manifest_cached(p, False, root="/data", cache_dir=cache)
         assert again == want
+
+    def test_same_stem_different_dirs_dont_collide(self, tmp_path):
+        from back2future_tpu.data import load_manifest_cached
+
+        pa = self._write(tmp_path / "dsA", n=3)
+        pb = self._write(tmp_path / "dsB", n=5)
+        cache = tmp_path / "cache"
+        a = load_manifest_cached(pa, False, root="/d", cache_dir=cache)
+        b = load_manifest_cached(pb, False, root="/d", cache_dir=cache)
+        # both cached under distinct files; re-reads hit their own entry
+        assert len(list(cache.glob("toy_*_manifestCache.json"))) == 2
+        assert len(load_manifest_cached(pa, False, root="/d",
+                                        cache_dir=cache)) == len(a) == 3
+        assert len(load_manifest_cached(pb, False, root="/d",
+                                        cache_dir=cache)) == len(b) == 5
 
     def test_stale_detection(self, tmp_path):
         import os

@@ -48,6 +48,16 @@ _WORKER = textwrap.dedent("""
         total = jax.jit(lambda x: x.mean())(batch["x"])
     expect = (2 * n_local - 1) / 2.0
     np.testing.assert_allclose(np.asarray(total), expect, rtol=1e-6)
+
+    # cross-host consistency guard: agreeing values pass, diverging
+    # values raise on every host except 0 (hosts compare against host 0)
+    from back2future_tpu.parallel.distributed import assert_same_across_hosts
+    assert_same_across_hosts("agree", "same-on-all-hosts")
+    try:
+        assert_same_across_hosts("diverge", f"host-{pid}-value")
+        assert pid == 0, "non-zero host should have raised"
+    except RuntimeError as e:
+        assert pid != 0 and "divergence" in str(e), e
     print(f"proc {pid}: global mean {float(total)} ok", flush=True)
 """)
 

@@ -32,6 +32,19 @@ class TestMesh:
         assert all(s is None for s in out["images"].sharding.spec[1:])
         assert out["images"].addressable_shards[0].data.shape[0] == 1
 
+    def test_shard_batch_partial_raises_on_train_path(self):
+        mesh = make_mesh(jax.devices()[:8])
+        batch = {"images": np.zeros((6, 8, 8, 9), np.float32)}
+        with pytest.raises(ValueError, match="does not divide"):
+            shard_batch(batch, mesh)
+
+    def test_shard_batch_partial_replicates_for_eval(self):
+        mesh = make_mesh(jax.devices()[:8])
+        batch = {"images": np.zeros((6, 8, 8, 9), np.float32)}
+        out = shard_batch(batch, mesh, allow_partial=True)
+        assert all(s is None for s in out["images"].sharding.spec)
+        assert out["images"].addressable_shards[0].data.shape[0] == 6
+
     def test_replicate(self):
         mesh = make_mesh(jax.devices()[:4])
         tree = {"w": np.ones((3, 3), np.float32)}
@@ -60,6 +73,29 @@ class TestMultiHost:
         assert out["images"].shape == (8, 4, 4, 3)
         np.testing.assert_array_equal(np.asarray(out["images"]),
                                       local["images"])
+
+
+class TestConsistencyGuard:
+    def test_single_host_noop(self):
+        from back2future_tpu.parallel.distributed import (
+            assert_same_across_hosts)
+
+        # single-process: must be a silent no-op whatever the value
+        assert_same_across_hosts("t", "anything")
+
+    def test_fingerprint_stable_and_sensitive(self):
+        from back2future_tpu.train.loop import _state_fingerprint
+
+        params = {"a": np.ones((2, 3), np.float32),
+                  "b": {"w": np.arange(4, dtype=np.float32)}}
+        fp1 = _state_fingerprint(params, 3)
+        fp2 = _state_fingerprint(
+            {"b": {"w": np.arange(4, dtype=np.float32)},
+             "a": np.ones((2, 3), np.float32)}, 3)
+        assert fp1 == fp2  # order-stable
+        assert fp1 != _state_fingerprint(params, 4)  # epoch-sensitive
+        params["b"]["w"] = params["b"]["w"] + 1
+        assert fp1 != _state_fingerprint(params, 3)  # value-sensitive
 
 
 class TestSoftConstraintSPMD:
