@@ -46,6 +46,53 @@ def _round_down_64(x: int) -> int:
     return max(x - (x % 64), 64)
 
 
+def _preprocess_triplets(frame_stacks, frames: int):
+    """Shared compute_flow preprocessing (back2future.lua:48-71): stack,
+    channel-concat, ImageNet-normalize, snap to the /64 grid.
+
+    Returns (imgs (B, H64, W64, 3F) float32, n, height, width)."""
+    stacks = [np.stack([np.asarray(im, np.float32) for im in ims])
+              if not isinstance(ims, np.ndarray) else
+              np.asarray(ims, np.float32) for ims in frame_stacks]
+    imgs = np.concatenate(stacks, axis=-1)          # (B, H, W, 3F)
+    if imgs.shape[-1] != 3 * frames:
+        raise ValueError(
+            f"model expects {frames} frames "
+            f"({3 * frames} channels), got {imgs.shape[-1]}")
+    imgs = color_normalize(imgs)
+
+    n, height, width = imgs.shape[:3]
+    fine_h, fine_w = _round_down_64(height), _round_down_64(width)
+    if (fine_h, fine_w) != (height, width):
+        imgs = np.stack([resize(im, fine_h, fine_w, "bilinear")
+                         for im in imgs])
+    return imgs, n, height, width
+
+
+def _postprocess_results(flow_b, occ_b, n: int, height: int, width: int):
+    """Shared compute_flow postprocessing (back2future.lua:77-91): resize
+    flow back with component rescale, threshold + resize occlusions."""
+    flow_b = np.asarray(flow_b, np.float32)[:n]
+    occ_b = np.asarray(occ_b, np.float32)[:n]
+    sc_h = height / flow_b.shape[1]
+    sc_w = width / flow_b.shape[2]
+    flows = np.empty((n, height, width, 2), np.float32)
+    fwd_occs = np.empty((n, height, width), bool)
+    bwd_occs = np.empty((n, height, width), bool)
+    for i in range(n):
+        f = resize(flow_b[i], height, width, "simple")
+        f[..., 0] *= sc_w
+        f[..., 1] *= sc_h
+        flows[i] = f
+        fwd_occs[i] = resize(
+            (occ_b[i, ..., 1] >= OCC_THRESHOLD).astype(np.float32),
+            height, width, "simple") > 0.5
+        bwd_occs[i] = resize(
+            (occ_b[i, ..., 0] >= OCC_THRESHOLD).astype(np.float32),
+            height, width, "simple") > 0.5
+    return flows, fwd_occs, bwd_occs
+
+
 class FlowEstimator:
     """Stateful wrapper owning the params and the compiled forward.
 
@@ -162,52 +209,121 @@ class FlowEstimator:
                  fwd_occs (B,H,W) bool, bwd_occs (B,H,W) bool)."""
         import jax.numpy as jnp
 
-        stacks = [np.stack([np.asarray(im, np.float32) for im in ims])
-                  if not isinstance(ims, np.ndarray) else
-                  np.asarray(ims, np.float32) for ims in (im1s, im2s, im3s)]
-        imgs = np.concatenate(stacks, axis=-1)          # (B, H, W, 3F)
-        if imgs.shape[-1] != 3 * self.config.frames:
-            raise ValueError(
-                f"model expects {self.config.frames} frames "
-                f"({3 * self.config.frames} channels), got {imgs.shape[-1]}")
-        imgs = color_normalize(imgs)
+        imgs, n, height, width = _preprocess_triplets(
+            (im1s, im2s, im3s), self.config.frames)
 
-        n, height, width = imgs.shape[:3]
-        fine_h, fine_w = _round_down_64(height), _round_down_64(width)
-        if (fine_h, fine_w) != (height, width):
-            imgs = np.stack([resize(im, fine_h, fine_w, "bilinear")
-                             for im in imgs])
-
-        pad = 0
-        if self.mesh is not None:
-            data_n = self.mesh.shape.get("data", 1)
-            pad = (-n) % data_n
-            if pad:
-                imgs = np.concatenate(
-                    [imgs, np.repeat(imgs[-1:], pad, axis=0)])
+        pad = self._padded_batch(n) - n
+        if pad:
+            imgs = np.concatenate(
+                [imgs, np.repeat(imgs[-1:], pad, axis=0)])
 
         flow_d, occ_d = self._forward(jnp.asarray(imgs))
-        flow_b = np.asarray(flow_d, np.float32)[:n]
-        occ_b = np.asarray(occ_d, np.float32)[:n]
+        return _postprocess_results(flow_d, occ_d, n, height, width)
 
-        # resize flow back, scaling components by the resize ratio
-        sc_h = height / flow_b.shape[1]
-        sc_w = width / flow_b.shape[2]
-        flows = np.empty((n, height, width, 2), np.float32)
-        fwd_occs = np.empty((n, height, width), bool)
-        bwd_occs = np.empty((n, height, width), bool)
-        for i in range(n):
-            f = resize(flow_b[i], height, width, "simple")
-            f[..., 0] *= sc_w
-            f[..., 1] *= sc_h
-            flows[i] = f
-            fwd_occs[i] = resize(
-                (occ_b[i, ..., 1] >= OCC_THRESHOLD).astype(np.float32),
-                height, width, "simple") > 0.5
-            bwd_occs[i] = resize(
-                (occ_b[i, ..., 0] >= OCC_THRESHOLD).astype(np.float32),
-                height, width, "simple") > 0.5
-        return flows, fwd_occs, bwd_occs
+
+    def export(self, path, sizes) -> None:
+        """AOT serving export: serialize the jitted forward (params baked
+        in as constants) for each `sizes` bucket — ``(height, width)`` or
+        ``(batch, height, width)`` like warmup() — into a self-contained
+        artifact directory loadable with `load_exported()`.
+
+        The artifact is jax.export StableHLO: a serving process needs no
+        model code, no checkpoint, and no re-trace — deserialization plus
+        one (persistently cached) XLA compile per bucket. Exports are
+        platform-checked at load (an artifact exported under TPU will
+        refuse to run on CPU and vice versa). Going beyond the reference,
+        whose serving story is torch.load of the full .t7 graph
+        (back2future.lua:113-116). Mesh-sharded estimators are not
+        exportable (replicate the artifact per chip instead)."""
+        import json
+
+        import jax
+        from jax import export as jexport
+
+        if self.mesh is not None:
+            raise ValueError("export() supports single-device estimators; "
+                             "serve a mesh by loading the artifact once "
+                             "per chip")
+        out = Path(path)
+        out.mkdir(parents=True, exist_ok=True)
+        fn = jax.jit(lambda x: self._finest(
+            self.model.apply({"params": self.params}, x)))
+        buckets = []
+        for size in sizes:
+            b, (h, w) = (1, size) if len(size) == 2 else (size[0], size[1:])
+            h64, w64 = _round_down_64(h), _round_down_64(w)
+            spec = jax.ShapeDtypeStruct(
+                (b, h64, w64, 3 * self.config.frames), jax.numpy.float32)
+            exp = jexport.export(fn)(spec)
+            name = f"forward_{b}x{h64}x{w64}.stablehlo"
+            (out / name).write_bytes(exp.serialize())
+            buckets.append([b, h64, w64])
+        (out / "meta.json").write_text(json.dumps({
+            "format": "back2future_tpu.export.v1",
+            "frames": self.config.frames,
+            "buckets": buckets,
+            "platforms": [jax.default_backend()],
+            "jax_version": jax.__version__,
+        }, indent=1))
+
+
+class ExportedFlowEstimator:
+    """compute_flow over a `FlowEstimator.export()` artifact: identical
+    pre/post-processing, but the forward comes from deserialized
+    StableHLO — no model code, params, or tracing in the serving
+    process. Only exported (batch, height, width) buckets are callable;
+    anything else raises (there are no params to fall back on)."""
+
+    def __init__(self, path):
+        import json
+
+        self.path = Path(path)
+        meta = json.loads((self.path / "meta.json").read_text())
+        if meta.get("format") != "back2future_tpu.export.v1":
+            raise ValueError(f"{path}: not a back2future_tpu export "
+                             f"artifact (format={meta.get('format')!r})")
+        self.frames = int(meta["frames"])
+        self.buckets = {tuple(b) for b in map(tuple, meta["buckets"])}
+        self.platforms = meta.get("platforms", [])
+        self._fns: dict = {}
+
+    def _forward(self, imgs):
+        import jax.numpy as jnp
+        from jax import export as jexport
+
+        bucket = imgs.shape[:3]
+        if bucket not in self.buckets:
+            raise ValueError(
+                f"no exported executable for (batch, H, W)={bucket}; "
+                f"artifact has {sorted(self.buckets)} — re-export with "
+                f"this bucket in `sizes`")
+        fn = self._fns.get(bucket)
+        if fn is None:
+            b, h, w = bucket
+            blob = (self.path / f"forward_{b}x{h}x{w}.stablehlo").read_bytes()
+            fn = self._fns[bucket] = jexport.deserialize(blob)
+        return fn.call(jnp.asarray(imgs))
+
+    def __call__(self, im1, im2, im3):
+        flows, fwd_occs, bwd_occs = self.compute_flow_batch(
+            np.asarray(im1, np.float32)[None],
+            np.asarray(im2, np.float32)[None],
+            np.asarray(im3, np.float32)[None])
+        return flows[0], fwd_occs[0], bwd_occs[0]
+
+    def compute_flow_batch(self, im1s, im2s, im3s):
+        imgs, n, height, width = _preprocess_triplets(
+            (im1s, im2s, im3s), self.frames)
+        flow_d, occ_d = self._forward(imgs)
+        return _postprocess_results(flow_d, occ_d, n, height, width)
+
+
+def load_exported(path) -> ExportedFlowEstimator:
+    """Open an AOT serving artifact written by `FlowEstimator.export()`."""
+    from .utils import enable_compile_cache
+
+    enable_compile_cache()
+    return ExportedFlowEstimator(path)
 
 
 def init(model: Optional[object] = "Ours-Soft-ft-KITTI",

@@ -293,6 +293,66 @@ class TestShapeBuckets:
             cf2.compute_flow_batch(*[np.stack([im, im]) for im in one])
 
 
+class TestExport:
+    """AOT serving artifact: FlowEstimator.export() -> load_exported()
+    must reproduce the live estimator bit-for-bit on exported buckets,
+    with no model code or params in the serving path."""
+
+    def _pair(self, tmp_path):
+        opt = small_opt()
+        _, cfg, params = small_model_and_params(opt)
+        cf = init((params, cfg), dtype="float32")
+        cf.export(tmp_path / "art", [(96, 130), (2, 96, 130)])
+        from back2future_tpu.api import load_exported
+
+        return cf, load_exported(tmp_path / "art")
+
+    def test_roundtrip_matches_live(self, tmp_path):
+        cf, served = self._pair(tmp_path)
+        rng = np.random.default_rng(0)
+        ims = [rng.random((96, 130, 3)).astype(np.float32)
+               for _ in range(3)]
+        flow_a, fwd_a, bwd_a = cf(*ims)
+        flow_b, fwd_b, bwd_b = served(*ims)
+        np.testing.assert_array_equal(flow_a, flow_b)
+        np.testing.assert_array_equal(fwd_a, fwd_b)
+        np.testing.assert_array_equal(bwd_a, bwd_b)
+        # batched bucket too
+        two = [np.stack([im, im]) for im in ims]
+        fa, _, _ = cf.compute_flow_batch(*two)
+        fb, _, _ = served.compute_flow_batch(*two)
+        np.testing.assert_array_equal(fa, fb)
+
+    def test_unseen_bucket_raises(self, tmp_path):
+        _, served = self._pair(tmp_path)
+        rng = np.random.default_rng(0)
+        ims = [rng.random((96, 200, 3)).astype(np.float32)
+               for _ in range(3)]
+        with pytest.raises(ValueError, match="no exported executable"):
+            served(*ims)
+
+    def test_bad_artifact_rejected(self, tmp_path):
+        import json
+
+        from back2future_tpu.api import load_exported
+
+        art = tmp_path / "bad"
+        art.mkdir()
+        (art / "meta.json").write_text(json.dumps({"format": "other"}))
+        with pytest.raises(ValueError, match="not a back2future_tpu"):
+            load_exported(art)
+
+    def test_mesh_estimator_not_exportable(self, tmp_path):
+        from back2future_tpu.parallel import make_mesh
+
+        opt = small_opt()
+        _, cfg, params = small_model_and_params(opt)
+        cf = init((params, cfg), dtype="float32",
+                  mesh=make_mesh(jax.devices()[:2]))
+        with pytest.raises(ValueError, match="single-device"):
+            cf.export(tmp_path / "art", [(96, 130)])
+
+
 class TestCompileCache:
     """Persistent-XLA-cache helper (utils/compile_cache.py): verified on
     hardware that serialized executables round-trip through the TPU
