@@ -130,7 +130,19 @@ class PrefetchLoader:
         # Advanced once per __iter__ so re-iterating (one epoch = one
         # iteration in train_epoch) yields fresh sample indices and
         # augmentation draws instead of replaying epoch 0 forever.
+        # The train loop pins it via set_epoch() so the stream follows
+        # the GLOBAL epoch number, not iterations-since-construction.
         self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the sample stream to global epoch `epoch` (0-based), like
+        torch's DistributedSampler.set_epoch. Without this a `-cont`
+        resumed run would replay the streams from epoch 0 again (its
+        fresh loader restarts the per-__iter__ counter), silently
+        training on the wrong epochs' draws; with it, resume trajectories
+        are exactly the uninterrupted run's
+        (tests/test_loop.py::test_resume_trajectory_matches_straight_run)."""
+        self.epoch = int(epoch)
 
     def _resolved_mode(self) -> str:
         import multiprocessing as mp

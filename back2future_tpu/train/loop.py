@@ -158,6 +158,9 @@ def train_epoch(epoch: int, state: TrainState, step, loader, mesh, opt,
     import jax
 
     state = state.with_epoch(epoch, opt)
+    # pin the sample stream to the global epoch (1-based loop -> 0-based
+    # stream) so resumed runs draw epoch N's data, not epoch 1's again
+    loader.set_epoch(epoch - 1)
     lr = lr_for_epoch(epoch, opt.LR)
     rows = []
     timer = StepTimer()
@@ -232,6 +235,7 @@ def eval_epoch(epoch: int, state: TrainState, eval_step, loader, mesh, opt,
     from collections import deque
 
     handles = deque()
+    loader.set_epoch(epoch - 1)
     rows, weights = [], []
     t0 = time.time()
 

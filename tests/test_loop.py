@@ -68,6 +68,43 @@ def test_run_two_epochs_checkpoints_and_logs(toy_tree):
     assert (save / "model_4.msgpack").exists()
 
 
+def test_resume_trajectory_matches_straight_run(toy_tree):
+    """Checkpoint-resume exactness: 1 epoch + `-cont` for a 2nd must land
+    on EXACTLY the params of an uninterrupted 2-epoch run — the joint
+    guarantee of the slot-seeded loader (epoch content is a function of
+    (seed, epoch), not of process history), persistent Adam moments in
+    optimState_<e>, and the LR regime being a pure function of epoch.
+    The reference cannot make this promise (its donkey RNG streams are
+    process-continuous); the rebuild's loader was designed so it can."""
+    import dataclasses
+
+    import jax
+
+    base = dict(
+        dataset="toy", datasets_dir=str(toy_tree / "datasets"),
+        data_root=str(toy_tree), cache=str(toy_tree / "ckpt"),
+        optimize="pme", frames=3, levels=4,
+        compute_dtype="float32", cropHeight=32, cropWidth=64,
+        batchSize=2, epochSize=2, nDonkeys=0, epochStore=1,
+        nGPU=1, adam_reset_per_epoch=False,
+    )
+    straight = run(Options(expName="straight", nEpochs=2,
+                           **base).derive(make_dirs=True))
+
+    opt_a = Options(expName="resumed", nEpochs=1, **base).derive(
+        make_dirs=True)
+    run(opt_a)
+    resumed = run(dataclasses.replace(opt_a, cont=True, nEpochs=2))
+
+    assert int(straight.step) == int(resumed.step) == 4
+    flat_s = jax.tree_util.tree_leaves_with_path(straight.params)
+    flat_r = dict(jax.tree_util.tree_leaves_with_path(resumed.params))
+    for path, leaf in flat_s:
+        np.testing.assert_array_equal(
+            np.asarray(leaf), np.asarray(flat_r[path]),
+            err_msg=f"resume diverged at {path}")
+
+
 def test_three_stage_hard_to_soft_recipe(toy_tree):
     """The reference's flagship training recipe, end-to-end
     (README.md:83-103): hard pretrain (OBCC, single future-flow decoder)
