@@ -25,6 +25,7 @@ class Options:
     dataset: str = "RoamingImages"
     ground_truth: bool = False
     manualSeed: int = 2
+    GPU: int = 1                # 1-based first device index (cutorch.setDevice analog)
     nGPU: int = 1               # number of devices for data parallelism
     backend: str = "xla"        # informational; compute always goes through XLA
 

@@ -321,7 +321,11 @@ def run(opt: Options, max_epochs: Optional[int] = None) -> TrainState:
     n_hosts = jax.process_count()
     shard = (jax.process_index(), n_hosts)
     host_local_batch_size(opt.batchSize)  # validates divisibility
-    local_devices = (jax.devices()[:opt.nGPU] if opt.nGPU > 0 else None)
+    # opt.GPU is the 1-based first device (main.lua's cutorch.setDevice
+    # analog); opt.nGPU devices starting there form the single-host mesh
+    base = max(opt.GPU - 1, 0)
+    local_devices = (jax.devices()[base:base + opt.nGPU]
+                     if opt.nGPU > 0 else None)
     mesh = make_mesh(None if n_hosts > 1 else local_devices,
                      shape=opt.mesh_shape, axes=opt.mesh_axes)
     model = build_model(opt)

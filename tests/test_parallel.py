@@ -148,3 +148,82 @@ class TestSoftConstraintSPMD:
             for a, b in zip(jax.tree_util.tree_leaves(params[k]),
                             jax.tree_util.tree_leaves(new_state.params[k])))
         assert moved
+
+    def test_five_frame_train_step_on_mesh(self):
+        """F=5 under SPMD: the frame-distance-dilated cost volumes
+        (CostVolMulti.lua:68-69) and the 4 warp branches must partition
+        on the data x spatial mesh like the flagship F=3 path."""
+        import jax.numpy as jnp
+        from jax.sharding import Mesh, NamedSharding
+
+        from back2future_tpu.config import Options
+        from back2future_tpu.losses import build_criterions
+        from back2future_tpu.models.pwc import PWCNet, pwc_config_from_options
+        from back2future_tpu.train.state import create_train_state
+        from back2future_tpu.train.step import make_train_step
+
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs the 8-device CPU mesh")
+        mesh = Mesh(np.array(devs[:8]).reshape(4, 2), ("data", "spatial"))
+
+        opt = Options(optimize="pme", frames=5, levels=4, batchSize=4,
+                      compute_dtype="float32").derive()
+        crits = build_criterions(opt)
+        model = PWCNet(pwc_config_from_options(opt))
+
+        B, H, W, C = 4, 32, 64, 15
+        rng = np.random.RandomState(0)
+        images = rng.randn(B, H, W, C).astype(np.float32) * 0.1
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, H, W, C), jnp.float32))["params"]
+        state = create_train_state(params, opt)
+        state = state.replace(params=replicate(state.params, mesh),
+                              opt_state=replicate(state.opt_state, mesh))
+        batch = {"images": jax.device_put(
+            images, NamedSharding(mesh, P("data", "spatial", None, None)))}
+
+        step = make_train_step(model, opt, crits, donate=False)
+        with mesh:
+            _, logs = step(state, batch)
+        assert np.isfinite(float(logs["loss"]))
+
+    def test_spynet_train_step_on_data_mesh(self):
+        """The SPyNet variant (models/spynet.lua) must also run data-
+        parallel — netType is a CLI knob, so both model families need
+        mesh coverage."""
+        import jax.numpy as jnp
+        from jax.sharding import NamedSharding
+
+        from back2future_tpu.config import Options
+        from back2future_tpu.losses import build_criterions
+        from back2future_tpu.models.spynet import (SPyNet,
+                                                   spynet_config_from_options)
+        from back2future_tpu.train.state import create_train_state
+        from back2future_tpu.train.step import make_train_step
+
+        devs = jax.devices()
+        if len(devs) < 8:
+            pytest.skip("needs the 8-device CPU mesh")
+        mesh = make_mesh(devs[:8])
+
+        opt = Options(netType="spynet", optimize="pme", frames=3, levels=3,
+                      batchSize=8, compute_dtype="float32").derive()
+        crits = build_criterions(opt)
+        model = SPyNet(spynet_config_from_options(opt))
+
+        B, H, W = 8, 32, 64
+        rng = np.random.RandomState(0)
+        images = rng.randn(B, H, W, 9).astype(np.float32) * 0.1
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, H, W, 9), jnp.float32))["params"]
+        state = create_train_state(params, opt)
+        state = state.replace(params=replicate(state.params, mesh),
+                              opt_state=replicate(state.opt_state, mesh))
+        batch = {"images": jax.device_put(
+            images, NamedSharding(mesh, P("data", None, None, None)))}
+
+        step = make_train_step(model, opt, crits, donate=False)
+        with mesh:
+            _, logs = step(state, batch)
+        assert np.isfinite(float(logs["loss"]))
