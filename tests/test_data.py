@@ -567,3 +567,90 @@ class TestManifestCache:
         cache = tmp_path / "cache"
         load_manifest_cached(p, False, root="/d", cache_dir=cache)
         assert not cache.exists()
+
+
+class TestRoamingGenerator:
+    """tools/make_roaming.py — the RoamingImages-style synthetic set must
+    carry SELF-CONSISTENT ground truth: warping the next frame back by
+    the gt flow reproduces the reference frame wherever the z-buffer
+    occlusion map says 'visible', and the dataset loads through the
+    standard manifest/FlowDataset path."""
+
+    @pytest.fixture(scope="class")
+    def roaming(self, tmp_path_factory):
+        import importlib.util
+        from pathlib import Path
+
+        spec = importlib.util.spec_from_file_location(
+            "make_roaming",
+            Path(__file__).resolve().parent.parent / "tools" /
+            "make_roaming.py")
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        root = tmp_path_factory.mktemp("roaming")
+        mod.main(["--out", str(root), "--n", "3", "--height", "64",
+                  "--width", "96", "--frames", "3", "--layers", "2",
+                  "--max_speed", "5", "--val_fraction", "0.34"])
+        return root
+
+    def _warp(self, img, flow):
+        h, w = img.shape[:2]
+        ys, xs = np.mgrid[0:h, 0:w].astype(np.float64)
+        ty = ys + flow[..., 1]
+        tx = xs + flow[..., 0]
+        inside = (ty >= 0) & (ty <= h - 1) & (tx >= 0) & (tx <= w - 1)
+        y0 = np.clip(np.floor(ty).astype(int), 0, h - 2)
+        x0 = np.clip(np.floor(tx).astype(int), 0, w - 2)
+        wy = np.clip(ty - y0, 0, 1)[..., None]
+        wx = np.clip(tx - x0, 0, 1)[..., None]
+        out = ((1 - wy) * ((1 - wx) * img[y0, x0] + wx * img[y0, x0 + 1])
+               + wy * ((1 - wx) * img[y0 + 1, x0] + wx * img[y0 + 1, x0 + 1]))
+        return out, inside
+
+    def test_ground_truth_is_self_consistent(self, roaming):
+        from back2future_tpu.data import load_manifest
+        from back2future_tpu.io.flow_io import load_disp, load_flo
+
+        specs = load_manifest(roaming / "datasets" / "RoamingImages.dat",
+                              ground_truth=True, root=str(roaming / "data"))
+        assert len(specs) == 3
+        for spec in specs:
+            imgs = [read_png_f32(p) for p in spec.image_paths(3)]
+            flow = load_flo(spec.flow_path())
+            occ = load_disp(spec.occ_paths(3)[1])
+            assert set(np.unique(occ)) <= {0.0, 0.5, 1.0}
+            warped, inside = self._warp(imgs[2], flow)
+            visible = (occ == 0.5) & inside
+            assert visible.mean() > 0.5  # most of the frame is visible
+            err = np.abs(warped - imgs[1])[visible].mean()
+            assert err < 0.02, f"brightness constancy violated: {err}"
+            # the backward direction under linear motion: ref-1 at x-u
+            warped_b, inside_b = self._warp(imgs[0], -flow)
+            err_b = np.abs(warped_b - imgs[1])[(occ == 0.5) & inside_b].mean()
+            assert err_b < 0.02, f"backward constancy violated: {err_b}"
+
+    def test_loads_through_flow_dataset(self, roaming):
+        from back2future_tpu.data import (FlowDataset, SampleConfig,
+                                          load_manifest, load_split)
+
+        specs = load_manifest(roaming / "datasets" / "RoamingImages.dat",
+                              ground_truth=True, root=str(roaming / "data"))
+        tr, va = load_split(roaming / "datasets" /
+                            "RoamingImages_split.dat")
+        assert len(tr) + len(va) == 3
+        cfg = SampleConfig(frames=3, ground_truth=True, fine_height=32,
+                           fine_width=64, load_height=64, load_width=96,
+                           augment=0)
+        ds = FlowDataset(specs, cfg, np.arange(3), train=True)
+        images, flow_occ, mask = ds.load(0, np.random.default_rng(0))
+        assert images.shape[-1] == 9
+        assert flow_occ.shape[-1] == 4  # flow(2) + occ(2)
+        assert np.isfinite(flow_occ).all() and np.isfinite(mask).all()
+
+
+def read_png_f32(path):
+    from back2future_tpu.io.png16 import read_png
+
+    img = read_png(str(path))
+    return img.astype(np.float64) / (65535.0 if img.dtype == np.uint16
+                                     else 255.0)
