@@ -33,6 +33,10 @@ def main(argv=None) -> None:
                     help="center-crop height (default: dataset eval size)")
     ap.add_argument("--cropWidth", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--dump_dir", default="",
+                    help="also write per-sample predictions: KITTI-format "
+                         "16-bit flow PNGs (%%06d_10.png, the benchmark "
+                         "submission layout) + raw-pixel .flo files")
     args = ap.parse_args(argv)
 
     import jax
@@ -85,16 +89,29 @@ def main(argv=None) -> None:
     def metrics_step(params, batch):
         outs = model.apply({"params": params}, batch["images"])
         g0 = outs[0]
-        return full_res_metrics(
+        metrics = full_res_metrics(
             g0["flow"].astype("float32"),
             None if g0["occ"] is None else g0["occ"].astype("float32"),
             batch, cfg.flownet_factor, size_average=False)
+        return metrics, g0["flow"].astype("float32")
 
-    rows, weights = [], []
+    dump = Path(args.dump_dir) if args.dump_dir else None
+    if dump:
+        from back2future_tpu.io.flow_io import write_flo, write_kitti_png
+
+        dump.mkdir(parents=True, exist_ok=True)
+
+    rows, weights, seen = [], [], 0
     for batch in loader:
-        logs = metrics_step(params, batch)
+        logs, flows = metrics_step(params, batch)
         rows.append({k: float(v) for k, v in logs.items()})
         weights.append(batch["images"].shape[0])
+        if dump:
+            px = np.asarray(flows, np.float32) * cfg.flownet_factor
+            for i in range(batch["images"].shape[0]):
+                write_kitti_png(dump / f"{seen + i:06d}_10.png", px[i])
+                write_flo(dump / f"{seen + i:06d}_10.flo", px[i])
+        seen += int(batch["images"].shape[0])
     w = np.asarray(weights, np.float64)
     agg = {k: float(np.average([r[k] for r in rows], weights=w))
            for k in rows[0]}
