@@ -140,6 +140,13 @@ def load_model_checkpoint(path: str | Path, opt: Optional[Options] = None):
         if p is None:
             raise FileNotFoundError(f"no model_<e> checkpoint under {path}")
     opt = opt or _load_options(p) or Options().derive()
+    if opt.netType != "pwc":
+        # a SPyNet checkpoint would otherwise fail deep in msgpack
+        # structure restoration with an opaque tree mismatch
+        raise ValueError(
+            f"checkpoint at {p} was trained with netType="
+            f"{opt.netType!r}; the inference API serves the PWC family "
+            f"(like the reference's computeFlow, back2future.lua:97-129)")
     cfg = pwc_config_from_options(opt)
 
     if p.suffix == ".orbax":

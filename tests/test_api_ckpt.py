@@ -80,6 +80,18 @@ class TestApi:
 
 
 class TestCheckpoint:
+    def test_non_pwc_checkpoint_rejected_clearly(self, tmp_path):
+        import dataclasses
+
+        opt = small_opt()
+        _, cfg, params = small_model_and_params(opt)
+        state = create_train_state(params, opt, epoch=1)
+        mp, _ = save_checkpoint(
+            tmp_path, state, dataclasses.replace(opt, netType="spynet"),
+            epoch=1)
+        with pytest.raises(ValueError, match="netType"):
+            load_model_checkpoint(mp)
+
     def test_save_load_roundtrip(self, tmp_path):
         opt = small_opt()
         _, cfg, params = small_model_and_params(opt)
