@@ -51,6 +51,10 @@ def _preprocess_triplets(frame_stacks, frames: int):
     channel-concat, ImageNet-normalize, snap to the /64 grid.
 
     Returns (imgs (B, H64, W64, 3F) float32, n, height, width)."""
+    if len(frame_stacks) != frames:
+        raise ValueError(
+            f"model expects {frames} frames, got {len(frame_stacks)} "
+            f"image stacks")
     stacks = [np.stack([np.asarray(im, np.float32) for im in ims])
               if not isinstance(ims, np.ndarray) else
               np.asarray(ims, np.float32) for ims in frame_stacks]
@@ -71,19 +75,23 @@ def _preprocess_triplets(frame_stacks, frames: int):
 
 def _postprocess_results(flow_b, occ_b, n: int, height: int, width: int):
     """Shared compute_flow postprocessing (back2future.lua:77-91): resize
-    flow back with component rescale, threshold + resize occlusions."""
+    flow back with component rescale, threshold + resize occlusions.
+    Models without an occlusion head (two-frame / no_occ) return
+    all-False occlusion masks."""
     flow_b = np.asarray(flow_b, np.float32)[:n]
-    occ_b = np.asarray(occ_b, np.float32)[:n]
     sc_h = height / flow_b.shape[1]
     sc_w = width / flow_b.shape[2]
     flows = np.empty((n, height, width, 2), np.float32)
-    fwd_occs = np.empty((n, height, width), bool)
-    bwd_occs = np.empty((n, height, width), bool)
+    fwd_occs = np.zeros((n, height, width), bool)
+    bwd_occs = np.zeros((n, height, width), bool)
+    occ_b = None if occ_b is None else np.asarray(occ_b, np.float32)[:n]
     for i in range(n):
         f = resize(flow_b[i], height, width, "simple")
         f[..., 0] *= sc_w
         f[..., 1] *= sc_h
         flows[i] = f
+        if occ_b is None:
+            continue
         fwd_occs[i] = resize(
             (occ_b[i, ..., 1] >= OCC_THRESHOLD).astype(np.float32),
             height, width, "simple") > 0.5
@@ -181,36 +189,36 @@ class FlowEstimator:
                           jnp.float32)
             jax.block_until_ready(self._forward(x))
 
-    def __call__(self, im1: np.ndarray, im2: np.ndarray, im3: np.ndarray
+    def __call__(self, *ims: np.ndarray
                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """compute_flow (back2future.lua:47-95). Images: (H, W, 3) in [0,1].
+        """compute_flow (back2future.lua:47-95): one (H, W, 3) image in
+        [0,1] per model frame — (im1, im2, im3) for the flagship 3-frame
+        models, (im1, im2) for two-frame ones, five for F=5.
 
         Returns (flow (H,W,2) float32 raw network units,
                  fwd_occ (H,W) bool, bwd_occ (H,W) bool).
         """
         flows, fwd_occs, bwd_occs = self.compute_flow_batch(
-            np.asarray(im1, np.float32)[None],
-            np.asarray(im2, np.float32)[None],
-            np.asarray(im3, np.float32)[None])
+            *(np.asarray(im, np.float32)[None] for im in ims))
         return flows[0], fwd_occs[0], bwd_occs[0]
 
-    def compute_flow_batch(self, im1s, im2s, im3s
+    def compute_flow_batch(self, *frame_stacks
                            ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Batched compute_flow — beyond the reference's one-triplet
-        computeFlow: each argument is (B, H, W, 3) (or a list of (H, W, 3)
-        images), all the same resolution, values in [0,1]. One jitted
-        forward serves the whole batch — the throughput mode the
-        benchmarks run in (bench.py: the single-triplet path leaves >10x
-        on the table at serving scale). On a mesh the batch is padded up
-        to a multiple of the 'data' axis (replicating the last sample;
-        padding is trimmed from the results).
+        computeFlow: one argument per model frame, each (B, H, W, 3) (or
+        a list of (H, W, 3) images), all the same resolution, values in
+        [0,1]. One jitted forward serves the whole batch — the throughput
+        mode the benchmarks run in (bench.py: the single-triplet path
+        leaves >10x on the table at serving scale). On a mesh the batch
+        is padded up to a multiple of the 'data' axis (replicating the
+        last sample; padding is trimmed from the results).
 
         Returns (flows (B,H,W,2) float32 raw network units,
                  fwd_occs (B,H,W) bool, bwd_occs (B,H,W) bool)."""
         import jax.numpy as jnp
 
         imgs, n, height, width = _preprocess_triplets(
-            (im1s, im2s, im3s), self.config.frames)
+            frame_stacks, self.config.frames)
 
         pad = self._padded_batch(n) - n
         if pad:
@@ -304,16 +312,14 @@ class ExportedFlowEstimator:
             fn = self._fns[bucket] = jexport.deserialize(blob)
         return fn.call(jnp.asarray(imgs))
 
-    def __call__(self, im1, im2, im3):
+    def __call__(self, *ims):
         flows, fwd_occs, bwd_occs = self.compute_flow_batch(
-            np.asarray(im1, np.float32)[None],
-            np.asarray(im2, np.float32)[None],
-            np.asarray(im3, np.float32)[None])
+            *(np.asarray(im, np.float32)[None] for im in ims))
         return flows[0], fwd_occs[0], bwd_occs[0]
 
-    def compute_flow_batch(self, im1s, im2s, im3s):
+    def compute_flow_batch(self, *frame_stacks):
         imgs, n, height, width = _preprocess_triplets(
-            (im1s, im2s, im3s), self.frames)
+            frame_stacks, self.frames)
         flow_d, occ_d = self._forward(imgs)
         return _postprocess_results(flow_d, occ_d, n, height, width)
 

@@ -305,6 +305,31 @@ class TestShapeBuckets:
             cf2.compute_flow_batch(*[np.stack([im, im]) for im in one])
 
 
+class TestVariableFrameServing:
+    """The API serves any model frame count (one image per frame), not
+    just the flagship F=3 — the model family is F in {2, odd}."""
+
+    def test_two_frame_model(self):
+        opt = small_opt(frames=2)
+        _, cfg, params = small_model_and_params(opt)
+        cf = init((params, cfg), dtype="float32")
+        rng = np.random.default_rng(0)
+        ims = [rng.random((96, 130, 3)).astype(np.float32)
+               for _ in range(2)]
+        flow, fwd, bwd = cf(*ims)
+        assert flow.shape == (96, 130, 2)
+
+    def test_wrong_frame_count_raises(self):
+        opt = small_opt()
+        _, cfg, params = small_model_and_params(opt)
+        cf = init((params, cfg), dtype="float32")
+        rng = np.random.default_rng(0)
+        ims = [rng.random((96, 130, 3)).astype(np.float32)
+               for _ in range(2)]
+        with pytest.raises(ValueError, match="expects 3 frames"):
+            cf(*ims)
+
+
 class TestExport:
     """AOT serving artifact: FlowEstimator.export() -> load_exported()
     must reproduce the live estimator bit-for-bit on exported buckets,
