@@ -124,13 +124,22 @@ class FlowEstimator:
     sharded too, XLA inserting the halo exchanges — the same sharding
     contract the training step runs under (parallel/mesh.py)."""
 
-    def __init__(self, params, config, dtype: str = "bfloat16",
+    def __init__(self, params, config, dtype: str = "",
                  mesh=None, spatial: bool = False):
+        import dataclasses
+
         import jax
+        import jax.numpy as jnp
 
         from .models.pwc import PWCNet
         from .parallel.mesh import replicate
 
+        # serve-time compute-dtype override: a bf16-trained checkpoint can
+        # be served in f32 (or vice versa) — params stay f32, only the
+        # forward's compute dtype changes
+        want = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}.get(dtype)
+        if want is not None and config.dtype != want:
+            config = dataclasses.replace(config, dtype=want)
         self.config = config
         self.model = PWCNet(config)
         self.mesh = mesh
@@ -333,7 +342,7 @@ def load_exported(path) -> ExportedFlowEstimator:
 
 
 def init(model: Optional[object] = "Ours-Soft-ft-KITTI",
-         dtype: str = "bfloat16", mesh=None, spatial: bool = False
+         dtype: str = "", mesh=None, spatial: bool = False
          ) -> Callable:
     """Load a model and return its compute_flow callable
     (back2future.lua:97-129).
@@ -344,6 +353,9 @@ def init(model: Optional[object] = "Ours-Soft-ft-KITTI",
       * a checkpoint path (directory or file),
       * a (params, PWCConfig) tuple,
       * None -> random weights (hard 3-frame default; smoke testing).
+
+    `dtype` ("bfloat16" / "float32") overrides the serving compute dtype;
+    default: the checkpoint's own config (bfloat16 for random weights).
     """
     import jax
     import jax.numpy as jnp
@@ -358,8 +370,8 @@ def init(model: Optional[object] = "Ours-Soft-ft-KITTI",
         return FlowEstimator(params, config, dtype, mesh, spatial)
 
     if model is None:
-        config = PWCConfig(dtype=jnp.bfloat16 if dtype == "bfloat16"
-                           else jnp.float32)
+        config = PWCConfig(dtype=jnp.float32 if dtype == "float32"
+                           else jnp.bfloat16)
         net = PWCNet(config)
         params = jax.jit(net.init)(jax.random.PRNGKey(0),
                           jnp.zeros((1, 64, 128, 3 * config.frames)))["params"]

@@ -305,6 +305,20 @@ class TestShapeBuckets:
             cf2.compute_flow_batch(*[np.stack([im, im]) for im in one])
 
 
+class TestServingDtype:
+    def test_override_and_default(self):
+        opt = small_opt()  # float32 compute dtype
+        _, cfg, params = small_model_and_params(opt)
+        assert init((params, cfg)).config.dtype == cfg.dtype  # honored
+        est = init((params, cfg), dtype="bfloat16")
+        assert est.config.dtype == jnp.bfloat16
+        rng = np.random.default_rng(0)
+        ims = [rng.random((96, 130, 3)).astype(np.float32)
+               for _ in range(3)]
+        flow, _, _ = est(*ims)  # bf16 forward still serves f32 results
+        assert flow.dtype == np.float32 and np.isfinite(flow).all()
+
+
 class TestVariableFrameServing:
     """The API serves any model frame count (one image per frame), not
     just the flagship F=3 — the model family is F in {2, odd}."""
