@@ -382,6 +382,38 @@ class TestExport:
         with pytest.raises(ValueError, match="no exported executable"):
             served(*ims)
 
+    def test_fresh_process_serves_without_model_code(self, tmp_path):
+        """The serving-process claim, literally: a new interpreter loads
+        the artifact and computes flow without back2future_tpu.models
+        ever being imported."""
+        import subprocess
+        import sys
+        import textwrap
+        from pathlib import Path
+
+        self._pair(tmp_path)  # writes tmp_path/art
+        script = textwrap.dedent(f"""
+            import jax; jax.config.update("jax_platforms", "cpu")
+            import sys
+            import numpy as np
+            sys.path.insert(0, {str(Path(__file__).parent.parent)!r})
+            from back2future_tpu.api import load_exported
+            served = load_exported({str(tmp_path / "art")!r})
+            rng = np.random.default_rng(0)
+            ims = [rng.random((96, 130, 3)).astype(np.float32)
+                   for _ in range(3)]
+            flow, fwd, bwd = served(*ims)
+            assert flow.shape == (96, 130, 2), flow.shape
+            assert np.isfinite(flow).all()
+            assert "back2future_tpu.models.pwc" not in sys.modules, \\
+                "serving imported the model code"
+            print("served-without-model-code ok")
+        """)
+        out = subprocess.run([sys.executable, "-c", script, ],
+                             capture_output=True, text=True, timeout=420)
+        assert out.returncode == 0, out.stderr[-2000:]
+        assert "served-without-model-code ok" in out.stdout
+
     def test_bad_artifact_rejected(self, tmp_path):
         import json
 
