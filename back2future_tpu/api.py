@@ -385,4 +385,10 @@ def init(model: Optional[object] = "Ours-Soft-ft-KITTI",
     from .train.checkpoint import load_model_checkpoint
 
     params, config = load_model_checkpoint(path)
+    if not isinstance(config, PWCConfig):
+        # the API serves the PWC family, like the reference's computeFlow
+        # (back2future.lua:97-129); other netTypes eval via tools/eval.py
+        raise ValueError(
+            f"checkpoint at {path!r} was trained with netType="
+            f"{type(config).__name__}; load() serves the PWC family only")
     return FlowEstimator(params, config, dtype, mesh, spatial)

@@ -126,12 +126,13 @@ def _load_options(path: Path) -> Optional[Options]:
 
 
 def load_model_checkpoint(path: str | Path, opt: Optional[Options] = None):
-    """-> (params, PWCConfig). `path` may be a model_<e>.msgpack file or a
-    directory containing them (newest wins)."""
+    """-> (params, model config). `path` may be a model_<e>.msgpack file
+    or a directory containing them (newest wins); the options.json sidecar
+    (or an explicit `opt`) says which netType's graph the tree belongs to."""
     import jax
     import jax.numpy as jnp
 
-    from ..models.pwc import PWCNet, pwc_config_from_options
+    from ..models.factory import model_and_config
 
     p = Path(path)
     # an .orbax checkpoint IS a directory; only scan non-checkpoint dirs
@@ -140,14 +141,7 @@ def load_model_checkpoint(path: str | Path, opt: Optional[Options] = None):
         if p is None:
             raise FileNotFoundError(f"no model_<e> checkpoint under {path}")
     opt = opt or _load_options(p) or Options().derive()
-    if opt.netType != "pwc":
-        # a SPyNet checkpoint would otherwise fail deep in msgpack
-        # structure restoration with an opaque tree mismatch
-        raise ValueError(
-            f"checkpoint at {p} was trained with netType="
-            f"{opt.netType!r}; the inference API serves the PWC family "
-            f"(like the reference's computeFlow, back2future.lua:97-129)")
-    cfg = pwc_config_from_options(opt)
+    model, cfg = model_and_config(opt)
 
     if p.suffix == ".orbax":
         import orbax.checkpoint as ocp
@@ -157,7 +151,6 @@ def load_model_checkpoint(path: str | Path, opt: Optional[Options] = None):
         return params, cfg
 
     # template tree for msgpack structure/dtype restoration
-    model = PWCNet(cfg)
     h = 2 ** (opt.levels - 1)
     template = jax.eval_shape(
         model.init, jax.random.PRNGKey(0),
@@ -214,11 +207,16 @@ def load_or_convert(opt: Options, rng=None):
     import jax
     import jax.numpy as jnp
 
-    from ..models.pwc import PWCNet, pwc_config_from_options
+    from ..models.factory import model_and_config
     from ..models.surgery import convert_hard_to_soft
 
     rng = rng if rng is not None else jax.random.PRNGKey(opt.manualSeed)
-    cfg = pwc_config_from_options(opt)
+    model, cfg = model_and_config(opt)
+    h = 2 ** (opt.levels - 1)
+
+    def fresh_params():
+        return jax.jit(model.init)(
+            rng, jnp.zeros((1, h, 2 * h, 3 * opt.frames)))["params"]
 
     if opt.cont:
         mp, epoch = latest_checkpoint(opt.save)
@@ -228,22 +226,16 @@ def load_or_convert(opt: Options, rng=None):
 
     if opt.retrain != "none":
         if opt.convert_to_soft:
-            # load hard weights into a past_flow graph (model.lua:56-116)
+            # load hard weights into a past_flow graph (model.lua:56-116);
+            # the named-tree surgery is specific to the PWC decoder stacks
+            assert opt.netType == "pwc", "convert_to_soft is a PWC recipe"
             import dataclasses as _dc
             hard_opt = _dc.replace(opt, past_flow=False)
             hard_params, _ = load_model_checkpoint(opt.retrain, hard_opt)
             assert opt.past_flow, "convert_to_soft requires past_flow"
-            model = PWCNet(cfg)
-            h = 2 ** (opt.levels - 1)
-            soft_params = jax.jit(model.init)(
-                rng, jnp.zeros((1, h, 2 * h, 3 * opt.frames)))["params"]
-            params = convert_hard_to_soft(hard_params, soft_params)
+            params = convert_hard_to_soft(hard_params, fresh_params())
         else:
             params, _ = load_model_checkpoint(opt.retrain, opt)
         return params, cfg, opt.epochNumber
 
-    model = PWCNet(cfg)
-    h = 2 ** (opt.levels - 1)
-    params = jax.jit(model.init)(
-        rng, jnp.zeros((1, h, 2 * h, 3 * opt.frames)))["params"]
-    return params, cfg, opt.epochNumber
+    return fresh_params(), cfg, opt.epochNumber

@@ -23,8 +23,7 @@ from ..config import Options
 from ..data import (FlowDataset, PrefetchLoader, SampleConfig, device_prefetch,
                     load_manifest_cached, load_split)
 from ..losses import build_criterions
-from ..models.pwc import PWCNet, pwc_config_from_options
-from ..models.spynet import SPyNet, spynet_config_from_options
+from ..models.factory import model_and_config
 from ..parallel.mesh import make_mesh, replicate
 from ..utils import SymbolLogger, StepTimer
 from .checkpoint import (load_or_convert, load_train_checkpoint,
@@ -35,11 +34,7 @@ from .step import make_eval_step, make_train_step
 
 
 def build_model(opt: Options):
-    if opt.netType == "pwc":
-        return PWCNet(pwc_config_from_options(opt))
-    if opt.netType == "spynet":
-        return SPyNet(spynet_config_from_options(opt))
-    raise ValueError(f"unknown netType {opt.netType!r}")
+    return model_and_config(opt)[0]
 
 
 def build_loaders(opt: Options, shard=(0, 1)):

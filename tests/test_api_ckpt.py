@@ -80,17 +80,30 @@ class TestApi:
 
 
 class TestCheckpoint:
-    def test_non_pwc_checkpoint_rejected_clearly(self, tmp_path):
-        import dataclasses
+    def test_spynet_checkpoint_roundtrip_but_api_rejects(self, tmp_path):
+        """SPyNet checkpoints save/resume for training; the serving API
+        rejects them with a clear error (it serves PWC only, matching
+        computeFlow back2future.lua:97-129)."""
+        from back2future_tpu.api import init
+        from back2future_tpu.models.spynet import (SPyNet,
+                                                   spynet_config_from_options)
 
-        opt = small_opt()
-        _, cfg, params = small_model_and_params(opt)
+        opt = small_opt(netType="spynet", levels=3)
+        cfg = spynet_config_from_options(opt)
+        params = SPyNet(cfg).init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 16, 32, 3 * opt.frames)))["params"]
         state = create_train_state(params, opt, epoch=1)
-        mp, _ = save_checkpoint(
-            tmp_path, state, dataclasses.replace(opt, netType="spynet"),
-            epoch=1)
-        with pytest.raises(ValueError, match="netType"):
-            load_model_checkpoint(mp)
+        mp, _ = save_checkpoint(tmp_path, state, opt, epoch=1)
+
+        params2, cfg2 = load_model_checkpoint(mp)  # sidecar-driven netType
+        assert type(cfg2).__name__ == "SPyNetConfig"
+        for a, b in zip(jax.tree_util.tree_leaves(params),
+                        jax.tree_util.tree_leaves(params2)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        with pytest.raises(ValueError, match="PWC family"):
+            init(str(mp))
 
     def test_save_load_roundtrip(self, tmp_path):
         opt = small_opt()

@@ -55,12 +55,12 @@ def main(argv=None) -> None:
     from back2future_tpu.config import Options
     from back2future_tpu.data import (FlowDataset, PrefetchLoader,
                                       SampleConfig, load_manifest, load_split)
-    from back2future_tpu.models.pwc import PWCNet
+    from back2future_tpu.models.factory import model_for_config
     from back2future_tpu.train.checkpoint import load_model_checkpoint
     from back2future_tpu.train.metrics import full_res_metrics
 
     params, cfg = load_model_checkpoint(args.checkpoint)
-    model = PWCNet(cfg)
+    model = model_for_config(cfg)
 
     opt = Options(dataset=args.dataset, ground_truth=True,
                   frames=cfg.frames, levels=cfg.levels,
