@@ -137,6 +137,10 @@ class FlowEstimator:
         # serve-time compute-dtype override: a bf16-trained checkpoint can
         # be served in f32 (or vice versa) — params stay f32, only the
         # forward's compute dtype changes
+        if dtype and dtype not in ("bfloat16", "float32"):
+            raise ValueError(
+                f"serving dtype override must be 'bfloat16' or 'float32', "
+                f"got {dtype!r}")
         want = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}.get(dtype)
         if want is not None and config.dtype != want:
             config = dataclasses.replace(config, dtype=want)
@@ -148,6 +152,7 @@ class FlowEstimator:
         self._jit = jax.jit(
             lambda p, x: self._finest(self.model.apply({"params": p}, x)))
         self._seen_buckets: set = set()
+        self._in_warmup = False
 
     @staticmethod
     def _finest(outputs):
@@ -162,7 +167,7 @@ class FlowEstimator:
         bucket = x.shape[:3]  # (batch, H64, W64) — jit keys on all three
         if bucket not in self._seen_buckets:
             self._seen_buckets.add(bucket)
-            if len(self._seen_buckets) > 1:
+            if len(self._seen_buckets) > 1 and not self._in_warmup:
                 import warnings
 
                 warnings.warn(
@@ -191,12 +196,16 @@ class FlowEstimator:
         import jax
         import jax.numpy as jnp
 
-        for size in sizes:
-            b, (h, w) = (1, size) if len(size) == 2 else (size[0], size[1:])
-            x = jnp.zeros((self._padded_batch(b), _round_down_64(h),
-                           _round_down_64(w), 3 * self.config.frames),
-                          jnp.float32)
-            jax.block_until_ready(self._forward(x))
+        self._in_warmup = True  # deliberate multi-bucket compiles: no
+        try:                    # "pre-compile with warmup()" warnings
+            for size in sizes:
+                b, (h, w) = (1, size) if len(size) == 2 else (size[0], size[1:])
+                x = jnp.zeros((self._padded_batch(b), _round_down_64(h),
+                               _round_down_64(w), 3 * self.config.frames),
+                              jnp.float32)
+                jax.block_until_ready(self._forward(x))
+        finally:
+            self._in_warmup = False
 
     def __call__(self, *ims: np.ndarray
                  ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -302,6 +311,15 @@ class ExportedFlowEstimator:
         self.frames = int(meta["frames"])
         self.buckets = {tuple(b) for b in map(tuple, meta["buckets"])}
         self.platforms = meta.get("platforms", [])
+        if self.platforms:  # refuse at load, not deep in the first call
+            import jax
+
+            backend = jax.default_backend()
+            if backend not in self.platforms:
+                raise ValueError(
+                    f"{path}: exported for platform(s) {self.platforms}, "
+                    f"but this process's JAX backend is {backend!r} — "
+                    f"re-export on the serving platform")
         self._fns: dict = {}
 
     def _forward(self, imgs):

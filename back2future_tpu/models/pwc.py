@@ -191,7 +191,8 @@ class PWCNet(nn.Module):
         """Whether levels 2+3 can run through the fused Pallas stem
         (ops/stem_pallas.py): default feature dims, raw 3-channel input
         (skip!=0 so no feat_1 stage), lane-aligned spatial dims, and the
-        kernel enabled (on by default on TPU; B2F_STEM_PALLAS gates)."""
+        kernel opted in (default OFF — measured slower than XLA's native
+        stride-2 lowering, see BENCHMARKS.md; B2F_STEM_PALLAS=1 enables)."""
         from ..ops.stem_pallas import stem_eligible, stem_pallas_enabled
 
         cfg = self.cfg

@@ -154,6 +154,21 @@ def assert_same_across_hosts(tag: str, value: str,
     client.key_value_set(f"b2f_same/{tag}/{n}/{pid}", value)
     client.wait_at_barrier(f"b2f_same_barrier_{tag}_{n}",
                            timeout_in_ms=timeout_ms)
+    if pid == 0:
+        # host 0 must fail fast too (its own value trivially matches the
+        # reference), otherwise it hangs at the next barrier while the
+        # divergent hosts die — and the canonical log never shows why
+        for other in range(1, jax.process_count()):
+            theirs = client.blocking_key_value_get(
+                f"b2f_same/{tag}/{n}/{other}", timeout_ms)
+            if theirs != value:
+                raise RuntimeError(
+                    f"cross-host divergence at {tag!r}: host {other} has "
+                    f"{theirs!r} but host 0 has {value!r}. For checkpoint "
+                    f"resume this usually means opt.save is not on storage "
+                    f"shared by all hosts — every host must see the same "
+                    f"checkpoints.")
+        return
     ref = client.blocking_key_value_get(f"b2f_same/{tag}/{n}/0", timeout_ms)
     if ref != value:
         raise RuntimeError(

@@ -228,11 +228,15 @@ def load_or_convert(opt: Options, rng=None):
         if opt.convert_to_soft:
             # load hard weights into a past_flow graph (model.lua:56-116);
             # the named-tree surgery is specific to the PWC decoder stacks
-            assert opt.netType == "pwc", "convert_to_soft is a PWC recipe"
+            if opt.netType != "pwc":
+                raise ValueError("convert_to_soft is a PWC recipe "
+                                 f"(netType={opt.netType!r})")
+            if not opt.past_flow:
+                raise ValueError("convert_to_soft requires -past_flow 1 "
+                                 "(the soft graph it converts into)")
             import dataclasses as _dc
             hard_opt = _dc.replace(opt, past_flow=False)
             hard_params, _ = load_model_checkpoint(opt.retrain, hard_opt)
-            assert opt.past_flow, "convert_to_soft requires past_flow"
             params = convert_hard_to_soft(hard_params, fresh_params())
         else:
             params, _ = load_model_checkpoint(opt.retrain, opt)

@@ -319,6 +319,11 @@ def run(opt: Options, max_epochs: Optional[int] = None) -> TrainState:
     # opt.GPU is the 1-based first device (main.lua's cutorch.setDevice
     # analog); opt.nGPU devices starting there form the single-host mesh
     base = max(opt.GPU - 1, 0)
+    if opt.nGPU > 0 and base + opt.nGPU > len(jax.devices()):
+        raise ValueError(
+            f"-GPU {opt.GPU} -nGPU {opt.nGPU} asks for devices "
+            f"{base + 1}..{base + opt.nGPU} but this host has only "
+            f"{len(jax.devices())} (cutorch.setDevice would error too)")
     local_devices = (jax.devices()[base:base + opt.nGPU]
                      if opt.nGPU > 0 else None)
     mesh = make_mesh(None if n_hosts > 1 else local_devices,

@@ -131,8 +131,6 @@ def main() -> None:
     opt = Options(compute_dtype="bfloat16").derive()
     model = PWCNet(pwc_config_from_options(opt))
 
-    import os
-
     # B=16 is the measured dispatch-amortization knee on v5e (see
     # BENCHMARKS.md batch scan); B2F_BENCH_BATCH overrides for scans
     batch = int(os.environ.get("B2F_BENCH_BATCH", "16"))

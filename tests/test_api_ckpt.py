@@ -105,6 +105,23 @@ class TestCheckpoint:
         with pytest.raises(ValueError, match="PWC family"):
             init(str(mp))
 
+    def test_convert_to_soft_guards(self, tmp_path):
+        """Misconfigured hard->soft conversions fail with clear errors
+        (not deep tree-surgery KeyErrors), and independently of -O.
+        The CLI layer can't reach the netType case (derive() clears
+        convert_to_soft for non-pwc, opts.lua:150-154) — that branch
+        guards programmatic Options construction."""
+        opt = small_opt(retrain=str(tmp_path / "x.msgpack"),
+                        convert_to_soft=True, past_flow=False)
+        with pytest.raises(ValueError, match="past_flow"):
+            load_or_convert(opt)
+        opt = dataclasses.replace(
+            small_opt(netType="spynet", levels=3,
+                      retrain=str(tmp_path / "x.msgpack")),
+            convert_to_soft=True, past_flow=True)  # bypasses derive()
+        with pytest.raises(ValueError, match="PWC recipe"):
+            load_or_convert(opt)
+
     def test_save_load_roundtrip(self, tmp_path):
         opt = small_opt()
         _, cfg, params = small_model_and_params(opt)
@@ -437,6 +454,28 @@ class TestExport:
         (art / "meta.json").write_text(json.dumps({"format": "other"}))
         with pytest.raises(ValueError, match="not a back2future_tpu"):
             load_exported(art)
+
+    def test_platform_mismatch_rejected_at_load(self, tmp_path):
+        """The docstring's 'platform-checked at load' contract: an
+        artifact exported under another backend refuses to load, not
+        fail deep inside the first fn.call."""
+        import json
+
+        from back2future_tpu.api import load_exported
+
+        self._pair(tmp_path)  # writes tmp_path/art (platforms=["cpu"])
+        meta_path = tmp_path / "art" / "meta.json"
+        meta = json.loads(meta_path.read_text())
+        meta["platforms"] = ["tpu"]
+        meta_path.write_text(json.dumps(meta))
+        with pytest.raises(ValueError, match="exported for platform"):
+            load_exported(tmp_path / "art")
+
+    def test_bad_dtype_override_rejected(self):
+        opt = small_opt()
+        _, cfg, params = small_model_and_params(opt)
+        with pytest.raises(ValueError, match="serving dtype"):
+            FlowEstimator(params, cfg, dtype="fp32")
 
     def test_mesh_estimator_not_exportable(self, tmp_path):
         from back2future_tpu.parallel import make_mesh

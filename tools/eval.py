@@ -35,8 +35,12 @@ def main(argv=None) -> None:
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--dump_dir", default="",
                     help="also write per-sample predictions: KITTI-format "
-                         "16-bit flow PNGs (%%06d_10.png, the benchmark "
-                         "submission layout) + raw-pixel .flo files")
+                         "16-bit flow PNGs + raw-pixel .flo files, named "
+                         "%%06d_10 by MANIFEST ROW (stable across --split/"
+                         "--limit). Predictions are at the eval crop "
+                         "resolution — for an actual benchmark submission "
+                         "run with the dataset's full-resolution eval size "
+                         "and map rows to the benchmark's frame ids")
     args = ap.parse_args(argv)
 
     import jax
@@ -109,8 +113,9 @@ def main(argv=None) -> None:
         if dump:
             px = np.asarray(flows, np.float32) * cfg.flownet_factor
             for i in range(batch["images"].shape[0]):
-                write_kitti_png(dump / f"{seen + i:06d}_10.png", px[i])
-                write_flo(dump / f"{seen + i:06d}_10.flo", px[i])
+                row = int(idx[seen + i])  # manifest row (sequential loader)
+                write_kitti_png(dump / f"{row:06d}_10.png", px[i])
+                write_flo(dump / f"{row:06d}_10.flo", px[i])
         seen += int(batch["images"].shape[0])
     w = np.asarray(weights, np.float64)
     agg = {k: float(np.average([r[k] for r in rows], weights=w))
