@@ -1,7 +1,8 @@
 #!/usr/bin/env python
-"""3-frame inference demo — the reference README workflow
-(/root/reference/README.md:54-71): load a frame triplet, compute flow and
-occlusions, write flow.flo + flow visualization + occlusion masks.
+"""Inference demo — the reference README workflow
+(/root/reference/README.md:54-71): load a frame window (one image per
+model frame; 3 for the flagship models), compute flow and occlusions,
+write flow.flo + flow visualization + occlusion masks.
 
     python tools/demo.py frame_0009.png frame_0010.png frame_0011.png \
         --model Ours-Soft-ft-KITTI --out out/ [--cpu]
@@ -20,7 +21,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("frames", nargs=3)
+    ap.add_argument("frames", nargs="+",
+                    help="one image per model frame (3 for the flagship "
+                         "models; 2 or 5 for those variants)")
     ap.add_argument("--model", default="Ours-Soft-ft-KITTI")
     ap.add_argument("--out", default="out")
     ap.add_argument("--cpu", action="store_true")
