@@ -50,14 +50,15 @@ _WORKER = textwrap.dedent("""
     np.testing.assert_allclose(np.asarray(total), expect, rtol=1e-6)
 
     # cross-host consistency guard: agreeing values pass, diverging
-    # values raise on every host except 0 (hosts compare against host 0)
+    # values raise on EVERY host — host 0 detects the divergence too
+    # (it would otherwise hang at the next barrier while the others die)
     from back2future_tpu.parallel.distributed import assert_same_across_hosts
     assert_same_across_hosts("agree", "same-on-all-hosts")
     try:
         assert_same_across_hosts("diverge", f"host-{pid}-value")
-        assert pid == 0, "non-zero host should have raised"
+        raise SystemExit(f"host {pid} should have raised on divergence")
     except RuntimeError as e:
-        assert pid != 0 and "divergence" in str(e), e
+        assert "divergence" in str(e), e
     print(f"proc {pid}: global mean {float(total)} ok", flush=True)
 """)
 
