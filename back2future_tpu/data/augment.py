@@ -52,13 +52,12 @@ def _luma_groups(img: np.ndarray) -> np.ndarray:
     return g[..., 0] * 0.299 + g[..., 1] * 0.587 + g[..., 2] * 0.114
 
 
-def _blend(a: np.ndarray, b: np.ndarray, alpha: float) -> np.ndarray:
-    # `alpha` must be a python float: an np.float64 scalar would promote
-    # the whole f32 image pipeline to f64 (NEP 50 strong scalars)
-    alpha = float(alpha)
-    out = a * alpha
-    out += b * (1.0 - alpha)
-    return out
+# reference jitter strengths (donkey.lua:161-166) — shared by the NumPy
+# ops below AND preprocess()'s native-kernel path, which must draw the
+# exact same rng stream with the exact same constants to stay
+# bit-identical (tests/test_data.py A/Bs the two backends)
+JITTER_VAR = 0.02
+PCA_ALPHASTD = 0.1
 
 
 def jitter_brightness(img, var, rng):
@@ -89,8 +88,8 @@ def jitter_saturation(img, var, rng):
 
 
 def color_jitter(img: np.ndarray, rng: np.random.Generator,
-                 brightness: float = 0.02, contrast: float = 0.02,
-                 saturation: float = 0.02) -> np.ndarray:
+                 brightness: float = JITTER_VAR, contrast: float = JITTER_VAR,
+                 saturation: float = JITTER_VAR) -> np.ndarray:
     """Brightness/contrast/saturation in a random order
     (transforms.lua:292-328 with donkey.lua:161-166 strengths)."""
     ops = [lambda x: jitter_brightness(x, brightness, rng),
@@ -102,7 +101,7 @@ def color_jitter(img: np.ndarray, rng: np.random.Generator,
 
 
 def pca_lighting(img: np.ndarray, rng: np.random.Generator,
-                 alphastd: float = 0.1) -> np.ndarray:
+                 alphastd: float = PCA_ALPHASTD) -> np.ndarray:
     """AlexNet PCA lighting noise, same RGB shift added to every frame
     group (transforms.lua:195-217)."""
     if alphastd == 0:
@@ -144,8 +143,9 @@ def preprocess(img: np.ndarray, rng: np.random.Generator,
     import ctypes
 
     order = rng.permutation(3)
-    alphas = np.array([1.0 + rng.normal(0, 0.02) for _ in order], np.float64)
-    pca_alpha = rng.normal(0, 0.1, size=3).astype(np.float32)
+    alphas = np.array([1.0 + rng.normal(0, JITTER_VAR) for _ in order],
+                      np.float64)
+    pca_alpha = rng.normal(0, PCA_ALPHASTD, size=3).astype(np.float32)
     rgb = (PCA_EIGVEC * pca_alpha[None, :] * PCA_EIGVAL[None, :]).sum(axis=1)
 
     # np.array always copies: the kernel works in place, and the NumPy

@@ -66,7 +66,13 @@ class FlowDataset:
     def load(self, i: int, rng: Optional[np.random.Generator] = None):
         spec = self.specs[int(self.indices[i])]
         if self.train:
-            rng = rng or np.random.default_rng()
+            if rng is None:
+                # an OS-entropy fallback here would silently break the
+                # package's "deterministic given (seed, epoch)" contract
+                raise ValueError(
+                    "train dataset load() needs an explicit rng for the "
+                    "augmentation draws (PrefetchLoader seeds per "
+                    "(seed, epoch, slot, position))")
             return train_sample(spec, self.cfg, rng, self.image_loader)
         return test_sample(spec, self.cfg, self.image_loader)
 
@@ -118,6 +124,10 @@ class PrefetchLoader:
         if batch_size % shard[1]:
             raise ValueError(f"global batch {batch_size} not divisible by "
                              f"{shard[1]} hosts")
+        if queue_depth < 1:
+            # depth 0 would deadlock the pacing condition (slot 0 can
+            # never run ahead of itself); depth 1 is the no-prefetch mode
+            raise ValueError(f"queue_depth must be >= 1, got {queue_depth}")
         self.dataset = dataset
         self.batch_size = batch_size
         self.n_batches = n_batches
@@ -202,6 +212,16 @@ class PrefetchLoader:
                     slot = job_q.get_nowait()
                 except queue.Empty:
                     return
+                with slot_ready:
+                    # bounded prefetch, checked BEFORE materializing: at
+                    # most queue_depth batches live ahead of the consumer
+                    # (pacing after compute would let every blocked
+                    # worker hold a finished batch in its frame too)
+                    while (slot - next_slot[0] >= self.queue_depth
+                           and not errors):
+                        slot_ready.wait(timeout=0.5)
+                    if errors:
+                        return
                 try:
                     batch = self._run_job(slot, epoch)
                 except BaseException as e:  # surfaced to the consumer
@@ -210,11 +230,6 @@ class PrefetchLoader:
                         slot_ready.notify_all()
                     return
                 with slot_ready:
-                    # bounded prefetch: don't run more than queue_depth
-                    # batches ahead of the consumer
-                    while (slot - next_slot[0] >= self.queue_depth
-                           and not errors):
-                        slot_ready.wait(timeout=0.5)
                     results[slot] = batch
                     slot_ready.notify_all()
 

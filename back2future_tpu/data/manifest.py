@@ -15,6 +15,7 @@ ASCII integer per line: 1 = train, 2 = validation (donkey.lua:79-94).
 from __future__ import annotations
 
 import dataclasses
+import os
 from pathlib import Path
 from typing import List, Optional, Sequence, Tuple
 
@@ -47,13 +48,17 @@ class SampleSpec:
     def occ_paths(self, frames: int) -> Tuple[Optional[str], Optional[str]]:
         """(frames-state occlusion, 3-frame occlusion) `.disp` paths derived
         from the flow path (donkey.lua:225-250). 2-frame datasets use the
-        3-frame map for both slots."""
+        3-frame map for both slots. The extension swap is splitext-based:
+        the reference's gsub('.flo', ...) is a no-op for non-.flo flow
+        paths, but only this port can reach that case (it adds KITTI
+        16-bit-PNG flow support) — a no-op would hand the flow file
+        itself to the .disp loader."""
         fp = self.flow_path()
         if fp is None:
             return None, None
+        stem = os.path.splitext(fp)[0]
         n = 3 if frames == 2 else frames
-        return (fp.replace(".flo", f"_occ_{n}.disp"),
-                fp.replace(".flo", "_occ_3.disp"))
+        return (f"{stem}_occ_{n}.disp", f"{stem}_occ_3.disp")
 
 
 def parse_manifest_line(line: str, ground_truth: bool) -> Optional[SampleSpec]:

@@ -97,8 +97,9 @@ def resize(img: np.ndarray, out_h: int, out_w: int, mode: str = "bilinear") -> n
         wy = (ys - y0)[:, None, None]
         wx = (xs - x0)[None, :, None]
         im = img.astype(np.float32)
-        top = im[y0][:, x0] * (1 - wx) + im[y0][:, x1] * wx
-        bot = im[y1][:, x0] * (1 - wx) + im[y1][:, x1] * wx
+        row0, row1 = im[y0], im[y1]  # gather each source-row set once
+        top = row0[:, x0] * (1 - wx) + row0[:, x1] * wx
+        bot = row1[:, x0] * (1 - wx) + row1[:, x1] * wx
         out = top * (1 - wy) + bot * wy
         if np.issubdtype(img.dtype, np.floating):
             out = out.astype(img.dtype)

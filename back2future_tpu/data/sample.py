@@ -117,12 +117,13 @@ def load_ground_truth(spec: SampleSpec, cfg: SampleConfig,
     return flow.astype(np.float32), occ.astype(np.float32), mask.astype(np.float32)
 
 
-def _scale_flow_raster(flow: np.ndarray, oh: int, ow: int) -> np.ndarray:
-    """Bilinear flow resample with magnitude rescale (donkey.lua:112-118:
-    aspect ratio must be preserved)."""
-    sc = oh / flow.shape[0]
-    assert abs(ow / flow.shape[1] - sc) < 1e-5, \
-        "flow resize must preserve aspect ratio"
+def _scale_flow_raster(flow: np.ndarray, oh: int, ow: int,
+                       sc: float) -> np.ndarray:
+    """Bilinear flow resample with magnitude rescale by the ORIGINAL
+    scale factor (donkey.lua:112-118 scaleFlow: the reference passes
+    float iH*scaleFactor, so its `sc = height/flow:size(2)` is exactly
+    scaleFactor; deriving sc from the truncated integer raster dims here
+    would instead trip its aspect-ratio assert for most resolutions)."""
     return resize(flow, oh, ow, "bilinear") * sc
 
 
@@ -136,11 +137,18 @@ def make_data(images: np.ndarray, flow: np.ndarray, occ: np.ndarray,
         sh, sw = int(ih * cfg.scale), int(iw * cfg.scale)
         images = resize(images, sh, sw, "bilinear")
         mask = resize(mask, sh, sw, "bilinear")
-        flow = _scale_flow_raster(flow, sh, sw)
+        flow = _scale_flow_raster(flow, sh, sw, cfg.scale)
         occ = resize(occ, sh, sw, "simple")
 
     ih, iw = images.shape[:2]
     oh, ow = cfg.fine_height, cfg.fine_width
+    if ih < oh or iw < ow:
+        # the reference crashes inside image.crop here (donkey.lua:358-365
+        # asserts crop dims); a silent short crop would train at the wrong
+        # resolution while configs/logs claim (oh, ow)
+        raise ValueError(
+            f"sample ({ih}x{iw}) smaller than the fine/crop size "
+            f"({oh}x{ow}) — check -fineHeight/-fineWidth/-scale/-cropHeight")
     if cfg.rand_crop == 1 and rng is not None:
         y0 = int(np.floor(rng.uniform(0, max(ih - oh, 1e-6))))
         x0 = int(np.floor(rng.uniform(0, max(iw - ow, 1e-6))))
@@ -199,13 +207,15 @@ def test_sample(spec: SampleSpec, cfg: SampleConfig,
                 image_loader: Callable[[str], np.ndarray] = default_image_loader,
                 ) -> Arrays:
     """The testHook: load + normalize + center crop, no jitter
-    (donkey.lua:433-513)."""
+    (donkey.lua:433-513). Normalization is UNCONDITIONAL here, matching
+    the reference quirk (donkey.lua:510 applies ColorNormalize with no
+    normalize_images guard, while trainHook's Preprocess honors the
+    flag) — so -normalize_images 0 trains raw but validates normalized,
+    exactly like the reference."""
     frames = [image_loader(p) for p in spec.image_paths(cfg.frames)]
     h, w = frames[0].shape[:2]
     flow, occ, mask = load_ground_truth(spec, cfg, h, w)
     if cfg.flownet_factor != 1:
         flow = flow / cfg.flownet_factor
-    images = np.concatenate(frames, axis=-1)
-    if cfg.normalize_images == 1:
-        images = color_normalize(images)
+    images = color_normalize(np.concatenate(frames, axis=-1))
     return make_data(images, flow, occ, mask, cfg, rng=None)

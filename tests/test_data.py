@@ -53,6 +53,15 @@ class TestManifest:
         occ_n, _ = s.occ_paths(2)
         assert occ_n == "f_03_occ_3.disp"
 
+    def test_occ_paths_png_flow(self):
+        """KITTI 16-bit-PNG flow patterns (a port extension) must still
+        derive .disp occ paths — the reference's gsub('.flo', ...) would
+        no-op and hand the flow PNG itself to the .disp loader."""
+        s = SampleSpec("i_%d.png", "f_%06d_10.png", ref=3, skip=1)
+        occ_n, occ_3 = s.occ_paths(5)
+        assert occ_n == "f_000003_10_occ_5.disp"
+        assert occ_3 == "f_000003_10_occ_3.disp"
+
     def test_split(self, tmp_path):
         p = tmp_path / "s.dat"
         p.write_text("1\n2\n1\n1\n2\n")
@@ -296,6 +305,36 @@ class TestHooks:
         for x, y in zip(a, b):
             np.testing.assert_array_equal(x, y)
 
+    def test_global_scale_option(self, toy_dataset):
+        """-scale with dims that truncate to a slightly different aspect
+        ratio (int(40*.5)/40 != int(72*.5)/72 at some sizes) must not
+        crash, and flow magnitudes scale by the ORIGINAL factor — the
+        reference's scaleFlow multiplies by exactly scaleFactor
+        (donkey.lua:112-118 receives float iH*scaleFactor)."""
+        spec, flow, (h, w) = toy_dataset
+        base = SampleConfig(frames=3, ground_truth=True, fine_height=12,
+                            fine_width=16, load_height=32, load_width=48,
+                            rand_crop=0, flownet_factor=1.0)
+        import dataclasses as dc
+        # 0.4 truncates 40x56 -> 16x22: 16/40=0.400 vs 22/56=0.393 — the
+        # dims an sc-from-raster derivation would reject
+        scaled = dc.replace(base, scale=0.4)
+        _, t_scaled, _ = eval_sample(spec, scaled)
+        _, t_base, _ = eval_sample(spec, base)
+        assert t_scaled.shape == (12, 16, 4)
+        assert np.isfinite(t_scaled).all()
+        # magnitude scales by ~0.4
+        ratio = (np.abs(t_scaled[..., :2]).mean()
+                 / max(np.abs(t_base[..., :2]).mean(), 1e-9))
+        assert 0.25 < ratio < 0.55, ratio
+
+    def test_short_sample_raises(self, toy_dataset):
+        spec, _, _ = toy_dataset
+        cfg = SampleConfig(frames=3, ground_truth=False, fine_height=400,
+                           fine_width=48, load_height=32, load_width=48)
+        with pytest.raises(ValueError, match="smaller than the fine"):
+            train_sample(spec, cfg, np.random.default_rng(0))
+
 
 class TestLoader:
     def _dataset(self, toy, n=6, train=True):
@@ -303,6 +342,16 @@ class TestLoader:
         cfg = SampleConfig(frames=3, fine_height=24, fine_width=32,
                            load_height=32, load_width=48)
         return FlowDataset([spec] * n, cfg, train=train)
+
+    def test_train_load_requires_rng(self, toy_dataset):
+        ds = self._dataset(toy_dataset)
+        with pytest.raises(ValueError, match="explicit rng"):
+            ds.load(0)
+
+    def test_queue_depth_validated(self, toy_dataset):
+        ds = self._dataset(toy_dataset)
+        with pytest.raises(ValueError, match="queue_depth"):
+            PrefetchLoader(ds, 2, 2, queue_depth=0)
 
     def test_collate_shapes(self, toy_dataset):
         ds = self._dataset(toy_dataset)
