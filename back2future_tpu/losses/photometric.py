@@ -337,23 +337,26 @@ def _make_ssim(cfg: PhotoConfig, scale: float, occlusion_aware: bool):
     ref = 0.5 * (cfg.frames - 1)
     gw = gaussian3_center_weight()
 
-    def _normalization(occ, warped, target):
-        # MSSIM: min/max over target + everything after flow (incl. occ,
-        # MSSIML1Criterion.lua:62-68); OSSIM: warped images only
-        # (OSSIML1Criterion.lua:61-67)
+    def _normalization(flow_past, occ, warped, target):
+        # MSSIM: min/max over target + every input AFTER the future flow —
+        # the past flow (input[2] when past_flow), occ, and the warped
+        # frames (MSSIML1Criterion.lua:62-68 loops i=2..#input); OSSIM:
+        # target + warped images only (OSSIML1Criterion.lua:61-67 loops
+        # from warp_start)
         if occlusion_aware:
             return _minmax(target, *warped)
-        extra = (occ,) if (occ is not None and cfg.frames > 2) else ()
-        if cfg.past_flow:
-            # input[2] is the past flow in the reference's input table
-            return _minmax(target, *extra, *warped)
+        extra = ()
+        if cfg.past_flow and flow_past is not None:
+            extra += (flow_past,)
+        if occ is not None and cfg.frames > 2:
+            extra += (occ,)
         return _minmax(target, *extra, *warped)
 
     def forward(flow, flow_past, occ, warped, target):
         b, h, w, c = target.shape
         inner, size_norm = _norms(cfg, target)
         masks = _masks(cfg, flow, flow_past, scale, h, w)
-        mn, mx = _normalization(occ, warped, target)
+        mn, mx = _normalization(flow_past, occ, warped, target)
         rng = mx - mn
         target_n = (target - mn) / rng
         mu_y = depthwise_gauss3(target_n)
@@ -390,7 +393,7 @@ def _make_ssim(cfg: PhotoConfig, scale: float, occlusion_aware: bool):
         b, h, w, c = target.shape
         inner, size_norm = _norms(cfg, target)
         masks = _masks(cfg, flow, flow_past, scale, h, w)
-        mn, mx = _normalization(occ, warped, target)
+        mn, mx = _normalization(flow_past, occ, warped, target)
         rng = mx - mn
         target_n = (target - mn) / rng
         mu_y = depthwise_gauss3(target_n)

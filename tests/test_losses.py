@@ -263,6 +263,25 @@ class TestSSIMFamily:
         expect /= expect.sum()
         np.testing.assert_allclose(k, expect, rtol=1e-6)
 
+    def test_mssim_normalization_includes_past_flow(self):
+        """MSSIM's min/max normalization ranges over every input after
+        the future flow — including the past flow when past_flow is on
+        (MSSIML1Criterion.lua:62-68 loops i=2..#input, where input[2] is
+        the past flow). A past-flow value outside the image-intensity
+        range must therefore change the loss; the two cases below use a
+        scale small enough that the out-of-image masks are identical."""
+        cfg = PhotoConfig(frames=3, alpha=0.85, past_flow=True)
+        flow, _, occ, warped, target = make_group(seed=11)
+        fn = make_mssim_l1(cfg, 0.01)
+        def run(fp_val):
+            fp = np.full(flow.shape, fp_val, np.float32)
+            return float(fn(jnp.asarray(flow), jnp.asarray(fp),
+                            jnp.asarray(occ),
+                            tuple(map(jnp.asarray, warped)),
+                            jnp.asarray(target)))
+        in_range, out_of_range = run(0.2), run(50.0)
+        assert abs(in_range - out_of_range) > 1e-4, (in_range, out_of_range)
+
     def test_ossim_runs_with_grads(self):
         cfg = PhotoConfig(frames=3, alpha=0.85)
         group = tuple(jnp.asarray(a) if not isinstance(a, tuple)
