@@ -43,7 +43,13 @@ def build_criterions(opt) -> Criterions:
     if name not in _PME_FACTORIES:
         raise ValueError(f"unsupported pme_criterion {name!r}")
 
+    # model.lua:189-193 only swaps the criterion's default penalty when
+    # -pme_penalty names L1 or Lorentzian; any other value keeps the default
+    # (Quadratic for the *BCC family, L1 for the SSIM family — the SSIM
+    # side is resolved inside _make_ssim).
     pme_penalty = opt.pme_penalty
+    if pme_penalty not in ("L1", "Lorentzian"):
+        pme_penalty = "Quadratic"
     if opt.dataset == "Kitti2015":
         # model.lua:196-198: L1Penalty(0.38) — ctor alpha is a no-op in the
         # reference, so effectively plain L1

@@ -333,7 +333,10 @@ def _ssim_terms(img_n, target_n, mu_y, sigma_y):
 
 
 def _make_ssim(cfg: PhotoConfig, scale: float, occlusion_aware: bool):
-    p = make_penalty("L1")  # SSIM variants always use L1 (model.lua:154-179 via ctor)
+    # SSIM variants default to L1 (their ctor, MSSIML1Criterion.lua:28), but
+    # model.lua:189-193 swaps in L1/Lorentzian when -pme_penalty names one;
+    # any other value (e.g. the 'Quadratic' default) keeps the L1 default.
+    p = make_penalty(cfg.penalty if cfg.penalty in ("L1", "Lorentzian") else "L1")
     ref = 0.5 * (cfg.frames - 1)
     gw = gaussian3_center_weight()
 

@@ -282,6 +282,22 @@ class TestSSIMFamily:
         in_range, out_of_range = run(0.2), run(50.0)
         assert abs(in_range - out_of_range) > 1e-4, (in_range, out_of_range)
 
+    def test_ssim_penalty_override_rule(self):
+        """model.lua:189-193 swaps the SSIM family's L1 default only for
+        -pme_penalty L1/Lorentzian; 'Quadratic' (the no-match case) keeps
+        L1. So Lorentzian must change the loss and Quadratic must not."""
+        flow, _, occ, warped, target = make_group(seed=3)
+        args = (jnp.asarray(flow), None, jnp.asarray(occ),
+                tuple(map(jnp.asarray, warped)), jnp.asarray(target))
+
+        def run(penalty):
+            cfg = PhotoConfig(frames=3, alpha=0.85, penalty=penalty)
+            return float(make_mssim_l1(cfg, 0.05)(*args))
+
+        l1, quad, lor = run("L1"), run("Quadratic"), run("Lorentzian")
+        assert quad == l1
+        assert abs(lor - l1) > 1e-5
+
     def test_ossim_runs_with_grads(self):
         cfg = PhotoConfig(frames=3, alpha=0.85)
         group = tuple(jnp.asarray(a) if not isinstance(a, tuple)
