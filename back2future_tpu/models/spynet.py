@@ -9,7 +9,8 @@ optional flow/occ input channels and residual flow.
 Faithfully replicated quirk: with residual=1 the reference adds the
 upsampled flow twice to the *output* flow (once inside volcon_level,
 models/spynet.lua:33-35, and again at models/spynet.lua:144-147) while the
-level's internal warps use the singly-added flow.
+level's internal warps use the singly-added flow; the next level then
+upsamples the doubled output flow (models/spynet.lua:99).
 
 Output: list of per-level dicts, FINEST first, same schema as PWCNet
 (flow_past always None).
@@ -173,7 +174,9 @@ class SPyNet(nn.Module):
                 "warped": warped,
                 "flow_scale": cfg.flow_scales[levels - l],
             }
-            prev_flow = flow
+            # the next level upsamples out_level[l-1][1] — the OUTPUT flow,
+            # i.e. the doubled flow when residual=1 (models/spynet.lua:99,146)
+            prev_flow = out_flow
             prev_occ = occ
 
         # finest first

@@ -203,3 +203,26 @@ class TestSPyNet:
         x = make_input(h=16, w=16)
         _, levels = init_and_run(model, x)
         assert len(levels) == 3
+
+    def test_residual_next_level_gets_doubled_flow(self, monkeypatch):
+        """With residual=1 the next level upsamples out_level[l-1][1] — the
+        OUTPUT flow after the second residual add (models/spynet.lua:99,
+        144-147) — not the singly-added flow the level warps with."""
+        import back2future_tpu.models.spynet as spymod
+        real_up = spymod.upsample_bilinear2x
+        seen = []
+
+        def recording_up(t):
+            seen.append(np.asarray(t))
+            return real_up(t)
+
+        cfg = SPyNetConfig(frames=3, levels=3, residual=1)
+        model = SPyNet(cfg)
+        x = make_input(h=16, w=16)
+        params = model.init(jax.random.PRNGKey(0), x)
+        monkeypatch.setattr(spymod, "upsample_bilinear2x", recording_up)
+        levels = model.apply(params, x)
+        # finest-first output: levels[-1] is the coarsest (l=1)
+        assert len(seen) == 2
+        np.testing.assert_array_equal(seen[0], np.asarray(levels[-1]["flow"]))
+        np.testing.assert_array_equal(seen[1], np.asarray(levels[-2]["flow"]))
