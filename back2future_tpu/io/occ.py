@@ -14,7 +14,19 @@ the semantic specification and A/B-tested against the native path).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
+
+
+def _round_torch_1based(zero_based: float, disp: float) -> int:
+    """torch.round (C round(): half away from zero) applied in the
+    reference's 1-based frame — getOCC rounds x_1based + flow
+    (flowExtensions.lua:184-185), and half-away rounding is not
+    shift-invariant at negative .5 ties, so the frame shift must sit
+    inside the round. Returns a 0-based coordinate."""
+    v = zero_based + 1.0 + disp
+    return int(math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)) - 1
 
 
 def _median_lower(vals: np.ndarray) -> float:
@@ -70,8 +82,8 @@ def get_occ_reference(depth: np.ndarray, flow: np.ndarray) -> np.ndarray:
             i = x * h + y
             u, v = flow[y, x, 0], flow[y, x, 1]
             for direction in (1, -1):
-                xf = int(np.round(x + direction * u))
-                yf = int(np.round(y + direction * v))
+                xf = _round_torch_1based(x, direction * u)
+                yf = _round_torch_1based(y, direction * v)
                 pix = fwd_pixel if direction == 1 else bwd_pixel
                 zbuf = fwd_z if direction == 1 else bwd_z
                 state = 1.0 if direction == 1 else 0.0

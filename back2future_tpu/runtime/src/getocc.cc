@@ -15,9 +15,14 @@
 
 namespace {
 
-// np.round semantics: round half to even.
-inline int64_t round_half_even(double v) {
-  return (int64_t)std::nearbyint(v);  // default FP env: to-nearest-even
+// torch.round semantics (C round(): half away from zero), applied in the
+// reference's 1-based coordinate frame: getOCC computes
+// round(x_1based + flow) (flowExtensions.lua:184-185), and half-away
+// rounding is not shift-invariant at negative .5 ties, so the +1/-1
+// frame shift must be inside the round to match exactly. KITTI flow is
+// quantized to 1/64, so exact .5 fractional displacements do occur.
+inline int64_t round_torch_1based(double zero_based, double disp) {
+  return (int64_t)std::round(zero_based + 1.0 + disp) - 1;
 }
 
 inline double median_lower(double* vals, int n) {
@@ -51,8 +56,8 @@ void get_occ_f64(const double* depth, const double* flow, double* occ,
       const double v = flow[(y * w + x) * 2 + 1];
       const double d = depth[y * w + x];
       for (int dir = 1; dir >= -1; dir -= 2) {
-        const int64_t xf = round_half_even(x + dir * u);
-        const int64_t yf = round_half_even(y + dir * v);
+        const int64_t xf = round_torch_1based(x, dir * u);
+        const int64_t yf = round_torch_1based(y, dir * v);
         int64_t* pix = (dir == 1) ? fwd_pixel : bwd_pixel;
         double* zbuf = (dir == 1) ? fwd_z : bwd_z;
         const double state = (dir == 1) ? 1.0 : 0.0;

@@ -143,6 +143,21 @@ class TestGetOcc:
         assert (occ[:, -1] == 1.0).all()   # rightmost column forward-occluded
         assert (occ[:, 0] == 0.0).all()    # leftmost column backward-occluded
 
+    def test_half_tie_rounding_matches_torch(self):
+        """torch.round is half-away-from-zero in getOCC's 1-BASED frame
+        (flowExtensions.lua:184-185); np.round's half-even (or half-away
+        in a 0-based frame) diverges on exact .5 ties, which KITTI's
+        1/64-quantized flow does produce. Hand-derived fixture: constant
+        u=1.5 on flat depth maps every x to x+2 (round(x_1+1.5) = x_1+2
+        away from zero), so the two rightmost columns forward-occlude and
+        only column 0 backward-occludes (round(1-1.5) = round(-0.5) = -1,
+        out of image; x>=1 lands in-bounds at x-1)."""
+        flow = np.zeros((5, 6, 2))
+        flow[..., 0] = 1.5
+        occ = get_occ(np.ones((5, 6)), flow)
+        expect = np.tile([0.0, 0.5, 0.5, 0.5, 1.0, 1.0], (5, 1))
+        np.testing.assert_array_equal(occ, expect)
+
     def test_native_matches_reference_oracle(self):
         """Native fast path (runtime/src/getocc.cc) must reproduce the
         pure-Python loop bit-exactly, including z-buffer collision order
@@ -153,7 +168,7 @@ class TestGetOcc:
         if not native_available("getocc"):
             pytest.skip("no native toolchain")
         rng = np.random.default_rng(11)
-        for trial in range(4):
+        for trial in range(5):
             h, w = rng.integers(6, 20, size=2)
             depth = rng.random((h, w)) * 10
             flow = rng.normal(0, 3, size=(h, w, 2))
@@ -161,6 +176,8 @@ class TestGetOcc:
                 flow = np.round(flow)          # exercise exact-integer hits
             if trial == 3:
                 depth = np.ones((h, w))        # ties: collision else-branch
+            if trial == 4:
+                flow = np.round(flow * 2) / 2  # exact .5 rounding ties
             ref = get_occ_reference(depth, flow)
             nat = _native_get_occ(depth, flow)
             np.testing.assert_array_equal(nat, ref)
