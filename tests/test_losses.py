@@ -116,6 +116,81 @@ def np_obgcc_forward(flow, flow_past, occ, warped, target, cfg, scale):
     return out
 
 
+def np_gauss3(x, k):
+    """3x3 depthwise conv with replication padding
+    (MSSIML1Criterion.lua:37-44: SpatialReplicationPadding(1,1,1,1) +
+    per-channel 3x3 conv)."""
+    h, w = x.shape[1], x.shape[2]
+    xp = np.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="edge")
+    out = np.zeros_like(x)
+    for dy in range(3):
+        for dx in range(3):
+            out = out + k[dy, dx] * xp[:, dy:dy + h, dx:dx + w]
+    return out
+
+
+def np_ssim_forward(flow, flow_past, occ, warped, target, cfg, scale,
+                    occlusion_aware):
+    """Independent transcription of MSSIML1Criterion.lua:46-153 /
+    OSSIML1Criterion.lua:48-170 updateOutput (NumPy, NHWC)."""
+    F = cfg.frames
+    ref = 0.5 * (F - 1)
+    b, h, w, c = target.shape
+    k = gaussian3_kernel()
+    C1, C2 = 0.01 ** 2, 0.03 ** 2
+    # the ctor default penalty is L1; model.lua:189-193 only swaps in
+    # L1/Lorentzian
+    if cfg.penalty == "Lorentzian":
+        eps2 = 0.05 ** 2
+        papply = lambda x: np.log1p(0.5 * x * x / eps2)
+    else:
+        papply = lambda x: np.sqrt(x * x + 1e-6)
+
+    if occlusion_aware:
+        vals = [target, *warped]          # OSSIML1Criterion.lua:64-67
+    else:                                 # MSSIML1Criterion.lua:63-68
+        vals = [target]
+        if cfg.past_flow:
+            vals.append(flow_past)
+        if F > 2:
+            vals.append(occ)
+        vals += list(warped)
+    mx = max(float(v.max()) for v in vals)
+    mn = min(float(v.min()) for v in vals)
+
+    t = (target - mn) / (mx - mn)
+    mu_y = np_gauss3(t, k)
+    sigma_y = np_gauss3(t * t, k) - mu_y ** 2
+    acc = np.zeros((b, h, w), np.float64)
+    for f in range(1, F):
+        img = (warped[f - 1] - mn) / (mx - mn)
+        mu_x = np_gauss3(img, k)
+        sigma_x = np_gauss3(img * img, k) - mu_x ** 2
+        sigma_xy = np_gauss3(img * t, k) - mu_x * mu_y
+        l = (2 * mu_x * mu_y + C1) / (mu_x ** 2 + mu_y ** 2 + C1)
+        cs = (2 * sigma_xy + C2) / (sigma_x + sigma_y + C2)
+        tmp = (cfg.alpha * (1 - l * cs).sum(-1)
+               + (1 - cfg.alpha) * papply(img - t).sum(-1))
+        if F == 2:
+            disp = flow * scale           # MSSIML1Criterion.lua:121-122
+        elif f <= ref:
+            fl = flow_past if cfg.past_flow else flow
+            disp = (f - ref - 1) * fl * scale
+        else:
+            disp = (f - ref) * flow * scale
+        m = np_mask(disp, h, w)
+        if occlusion_aware:
+            ow = occ[..., 1] if f <= ref else occ[..., 0]
+            tmp = tmp * ow * m + (1 - m) * cfg.penalty_out
+        else:
+            tmp = tmp * m
+        acc += tmp
+    out = acc.sum() / (c * (F - 1))
+    if cfg.size_average:
+        out /= b * h * w
+    return out
+
+
 # ---------------------------------------------------------------- tests
 
 class TestPenalties:
@@ -255,6 +330,36 @@ class TestSSIMFamily:
         got = float(fn(jnp.asarray(flow), None, jnp.asarray(occ),
                        tuple(map(jnp.asarray, warped)), jnp.asarray(target)))
         assert got < 1e-3  # SSIM of identical images ~ 1 -> loss ~ 0
+
+    @pytest.mark.parametrize("past_flow", [False, True])
+    @pytest.mark.parametrize("penalty", ["L1", "Lorentzian"])
+    def test_mssim_forward_vs_oracle(self, past_flow, penalty):
+        cfg = PhotoConfig(frames=3, alpha=0.85, past_flow=past_flow,
+                          penalty=penalty)
+        flow, flow_past, occ, warped, target = make_group(seed=21)
+        fp = flow_past if past_flow else None
+        got = float(make_mssim_l1(cfg, 0.7)(
+            jnp.asarray(flow), None if fp is None else jnp.asarray(fp),
+            jnp.asarray(occ), tuple(map(jnp.asarray, warped)),
+            jnp.asarray(target)))
+        want = np_ssim_forward(flow, flow_past if past_flow else None, occ,
+                               warped, target, cfg, 0.7,
+                               occlusion_aware=False)
+        assert got == pytest.approx(want, rel=2e-5)
+
+    @pytest.mark.parametrize("past_flow", [False, True])
+    def test_ossim_forward_vs_oracle(self, past_flow):
+        cfg = PhotoConfig(frames=3, alpha=0.85, past_flow=past_flow)
+        flow, flow_past, occ, warped, target = make_group(seed=22)
+        fp = flow_past if past_flow else None
+        got = float(make_ossim_l1(cfg, 0.7)(
+            jnp.asarray(flow), None if fp is None else jnp.asarray(fp),
+            jnp.asarray(occ), tuple(map(jnp.asarray, warped)),
+            jnp.asarray(target)))
+        want = np_ssim_forward(flow, flow_past if past_flow else None, occ,
+                               warped, target, cfg, 0.7,
+                               occlusion_aware=True)
+        assert got == pytest.approx(want, rel=2e-5)
 
     def test_gaussian_kernel_matches_torch_convention(self):
         k = gaussian3_kernel()
