@@ -467,6 +467,37 @@ class TestSmoothness:
 
 
 class TestKL:
+    def test_forward_vs_oracle(self):
+        """Independent transcription of KLDivergenceCriterion.lua:33-73
+        updateOutput: replication-pad, clamp below at eps=5e-2, symmetric
+        KL between center and down/right neighbors weighted at the CENTER
+        pixel by contrast-sensitive target-gradient weights, norm =
+        C/nElement."""
+        rng = np.random.default_rng(40)
+        occ = rng.uniform(0.01, 0.99, (2, 6, 7, 2)).astype(np.float32)
+        target = rng.random((2, 6, 7, 3)).astype(np.float32)
+        b, h, w, c = occ.shape
+        eps = 5e-2
+        nz = np.maximum(np.pad(occ, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                               mode="edge"), eps).astype(np.float64)
+        lg = np.log(nz)
+        pc, lc = nz[:, 1:1 + h, 1:1 + w], lg[:, 1:1 + h, 1:1 + w]
+        pd, ld = nz[:, 2:2 + h, 1:1 + w], lg[:, 2:2 + h, 1:1 + w]
+        pr, lr = nz[:, 1:1 + h, 2:2 + w], lg[:, 1:1 + h, 2:2 + w]
+        gy = (lc - ld) * pc + (ld - lc) * pd
+        gx = (lc - lr) * pc + (lr - lc) * pr
+        t64 = target.astype(np.float64)
+        igy = np.zeros((b, h, w)); igx = np.zeros((b, h, w))
+        igy[:, :-1] = np.abs(t64[:, 1:] - t64[:, :-1]).mean(-1)
+        igx[:, :, :-1] = np.abs(t64[:, :, 1:] - t64[:, :, :-1]).mean(-1)
+        wy = np.exp(-20.0 * igy)[..., None]
+        wx = np.exp(-20.0 * igx)[..., None]
+        want = (gx * wx + gy * wy).sum() * c / occ.size
+
+        kl = make_kl_smoothness(True, True)
+        got = float(kl(jnp.asarray(occ), jnp.asarray(target)))
+        assert got == pytest.approx(want, rel=2e-5)
+
     def test_uniform_occ_zero(self):
         kl = make_kl_smoothness(True, True)
         occ = jnp.full((1, 5, 5, 2), 0.5)
