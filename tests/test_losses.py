@@ -361,6 +361,93 @@ class TestSSIMFamily:
                                occlusion_aware=True)
         assert got == pytest.approx(want, rel=2e-5)
 
+    def test_mssim_backward_vs_oracle(self):
+        """Independent transcription of MSSIML1Criterion.lua:155-263
+        updateGradInput for the warped-image gradients: center-gaussian-
+        weight SSIM derivative approximation, L1 penalty derivative on the
+        normalized diff, out-of-image masking, 1/(C(F-1)) + sizeAverage
+        normalization — and NO 1/(mx-mn) chain factor."""
+        cfg = PhotoConfig(frames=3, alpha=0.85)
+        flow, _, occ, warped, target = make_group(seed=23)
+        scale = 0.7
+        fn = make_mssim_l1(cfg, scale)
+        args = (jnp.asarray(flow), None, jnp.asarray(occ),
+                tuple(map(jnp.asarray, warped)), jnp.asarray(target))
+        got = jax.grad(lambda w_: fn(args[0], None, args[2], w_, args[4]))(
+            args[3])
+
+        b, h, w, c = target.shape
+        k = gaussian3_kernel()
+        gw = float(k[1, 1])
+        C1, C2 = 0.01 ** 2, 0.03 ** 2
+        mx = max(float(v.max()) for v in (target, occ, *warped))
+        mn = min(float(v.min()) for v in (target, occ, *warped))
+        t = ((target - mn) / (mx - mn)).astype(np.float64)
+        mu_y = np_gauss3(t, k)
+        sigma_y = np_gauss3(t * t, k) - mu_y ** 2
+        ref = 0.5 * (cfg.frames - 1)
+        norm = 1.0 / (c * (cfg.frames - 1)) / (b * h * w)
+        for f in range(1, cfg.frames):
+            img = ((warped[f - 1] - mn) / (mx - mn)).astype(np.float64)
+            mu_x = np_gauss3(img, k)
+            sigma_x = np_gauss3(img * img, k) - mu_x ** 2
+            sigma_xy = np_gauss3(img * t, k) - mu_x * mu_y
+            l = (2 * mu_x * mu_y + C1) / (mu_x ** 2 + mu_y ** 2 + C1)
+            cs = (2 * sigma_xy + C2) / (sigma_x + sigma_y + C2)
+            d_l = 2 * gw * (mu_y - mu_x * l) / (mu_x ** 2 + mu_y ** 2 + C1)
+            d_cs = 2 * gw * ((t - mu_y) - cs * (img - mu_x)) \
+                / (sigma_x + sigma_y + C2)
+            buf = img - t
+            gi = (-cfg.alpha * (d_l * cs + l * d_cs)
+                  + (1 - cfg.alpha) * buf / np.sqrt(buf ** 2 + 1e-6))
+            disp = (f - ref - 1) * flow * scale if f <= ref \
+                else (f - ref) * flow * scale
+            gi = gi * np_mask(disp, h, w)[..., None] * norm
+            np.testing.assert_allclose(np.asarray(got[f - 1]), gi,
+                                       rtol=2e-4, atol=1e-8)
+
+    def test_ossim_occ_backward_vs_oracle(self):
+        """OSSIML1Criterion.lua:217-296: the occlusion gradient per frame
+        is the frame's per-pixel loss (masked, plus the out-of-image
+        penalty) added into channel 1 for past frames / channel 0 for
+        future frames."""
+        cfg = PhotoConfig(frames=3, alpha=0.85)
+        flow, _, occ, warped, target = make_group(seed=24)
+        scale = 0.7
+        fn = make_ossim_l1(cfg, scale)
+        got = np.asarray(jax.grad(
+            lambda o: fn(jnp.asarray(flow), None, o,
+                         tuple(map(jnp.asarray, warped)),
+                         jnp.asarray(target)))(jnp.asarray(occ)))
+
+        b, h, w, c = target.shape
+        k = gaussian3_kernel()
+        C1, C2 = 0.01 ** 2, 0.03 ** 2
+        mx = max(float(v.max()) for v in (target, *warped))
+        mn = min(float(v.min()) for v in (target, *warped))
+        t = ((target - mn) / (mx - mn)).astype(np.float64)
+        mu_y = np_gauss3(t, k)
+        sigma_y = np_gauss3(t * t, k) - mu_y ** 2
+        ref = 0.5 * (cfg.frames - 1)
+        norm = 1.0 / (c * (cfg.frames - 1)) / (b * h * w)
+        want = np.zeros((b, h, w, 2))
+        for f in range(1, cfg.frames):
+            img = ((warped[f - 1] - mn) / (mx - mn)).astype(np.float64)
+            mu_x = np_gauss3(img, k)
+            sigma_x = np_gauss3(img * img, k) - mu_x ** 2
+            sigma_xy = np_gauss3(img * t, k) - mu_x * mu_y
+            l = (2 * mu_x * mu_y + C1) / (mu_x ** 2 + mu_y ** 2 + C1)
+            cs = (2 * sigma_xy + C2) / (sigma_x + sigma_y + C2)
+            buf = img - t
+            per_pix = (cfg.alpha * (1 - l * cs).sum(-1)
+                       + (1 - cfg.alpha) * np.sqrt(buf ** 2 + 1e-6).sum(-1))
+            disp = (f - ref - 1) * flow * scale if f <= ref \
+                else (f - ref) * flow * scale
+            m = np_mask(disp, h, w)
+            ch = 1 if f <= ref else 0
+            want[..., ch] += (per_pix * m + (1 - m) * cfg.penalty_out) * norm
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-8)
+
     def test_gaussian_kernel_matches_torch_convention(self):
         k = gaussian3_kernel()
         g1 = np.exp(-((1 / 0.75) ** 2) / 2)
