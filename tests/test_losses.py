@@ -291,6 +291,69 @@ class TestOBGCC:
         for leaf in jax.tree_util.tree_leaves(grads):
             assert np.isfinite(np.asarray(leaf)).all()
 
+    def test_backward_vs_oracle(self):
+        """Independent transcription of OBGCCriterion.lua:151-296
+        updateGradInput: cross-frame-accumulated gradient buffers, the
+        alpha-only-in-backward brightness asymmetry, the -der + shifted
+        +der transpose structure for both image and occlusion gradients,
+        out-of-image masking + penalty, occ-channel routing."""
+        cfg = PhotoConfig(frames=3, penalty="L1", alpha=0.7, beta=1.3,
+                          gamma=0.9)
+        flow, _, occ, warped, target = make_group(seed=25)
+        scale = 0.8
+        fn = make_obgcc(cfg, scale)
+        d_warped, d_occ = jax.grad(
+            lambda w_, o: fn(jnp.asarray(flow), None, o, w_,
+                             jnp.asarray(target)),
+            argnums=(0, 1))(tuple(map(jnp.asarray, warped)),
+                            jnp.asarray(occ))
+
+        b, h, w, c = target.shape
+        pa = lambda x: np.sqrt(x ** 2 + 1e-6)
+        pd = lambda x: x / np.sqrt(x ** 2 + 1e-6)
+
+        def fdx(x):
+            d = np.zeros_like(x); d[:, :, :-1] = x[:, :, 1:] - x[:, :, :-1]
+            return d
+
+        def fdy(x):
+            d = np.zeros_like(x); d[:, :-1] = x[:, 1:] - x[:, :-1]
+            return d
+
+        tgx, tgy = fdx(target), fdy(target)
+        agx = np.zeros_like(target)
+        agy = np.zeros_like(target)
+        ref = 0.5 * (cfg.frames - 1)
+        norm = 1.0 / (c * (cfg.frames - 1)) / (b * h * w)
+        want_occ = np.zeros((b, h, w, 2), np.float64)
+        for f in range(1, cfg.frames):
+            img = warped[f - 1]
+            agx = agx + fdx(img)
+            agy = agy + fdy(img)
+            diff = img - target
+            bgx, bgy = agx - tgx, agy - tgy
+
+            gi = cfg.alpha * pd(diff) \
+                - cfg.gamma * pd(bgy) - cfg.beta * pd(bgx)
+            gi[:, 1:] += cfg.gamma * pd(bgy[:, :-1])
+            gi[:, :, 1:] += cfg.beta * pd(bgx[:, :, :-1])
+
+            ob = cfg.alpha * pa(diff).sum(-1) \
+                - cfg.gamma * pa(bgy).sum(-1) - cfg.beta * pa(bgx).sum(-1)
+            ob[:, 1:] += cfg.gamma * pa(bgy[:, :-1]).sum(-1)
+            ob[:, :, 1:] += cfg.beta * pa(bgx[:, :, :-1]).sum(-1)
+
+            disp = (f - ref - 1) * flow * scale if f <= ref \
+                else (f - ref) * flow * scale
+            m = np_mask(disp, h, w)
+            ch = 1 if f <= ref else 0
+            want_occ[..., ch] += (ob * m + (1 - m) * cfg.penalty_out) * norm
+            gi = gi * m[..., None] * occ[..., ch][..., None] * norm
+            np.testing.assert_allclose(np.asarray(d_warped[f - 1]), gi,
+                                       rtol=2e-4, atol=1e-7)
+        np.testing.assert_allclose(np.asarray(d_occ), want_occ,
+                                   rtol=2e-4, atol=1e-7)
+
 
 class TestMBCC:
     def test_no_occ_weighting(self):
