@@ -86,8 +86,11 @@ def main(argv=None) -> None:
     # ceil: the final partial batch is evaluated too (and weighted by its
     # true size below) so the aggregate covers the whole split
     n_batches = -(-len(ds) // args.batchSize)
+    # thread workers: by this point JAX/PJRT threads are live (checkpoint
+    # load above), so the default POSIX fork pool risks a child deadlock
+    # (see CLAUDE.md loader notes); eval decoding is light, threads keep up
     loader = PrefetchLoader(ds, args.batchSize, n_batches, n_workers=4,
-                            sequential=True)
+                            sequential=True, worker_mode="thread")
 
     @jax.jit
     def metrics_step(params, batch):
