@@ -25,27 +25,34 @@ class SymbolLogger:
         if self.path.exists():
             header = self.path.read_text().splitlines()
             if header:
-                self._names = header[0].split("\t")
+                # rstrip: the reference writes a trailing tab after the
+                # last column (myLogger.lua:74-79), so a resumed log —
+                # ours or an actual Lua-written one — parses identically
+                self._names = header[0].rstrip("\t").split("\t")
 
     def add(self, symbols: Dict[str, float]) -> None:
+        """Append one row (myLogger.lua:84-114): every value formatted
+        `%11.4e` with a trailing tab per column — byte-format compatible
+        with the reference's train.log/test.log consumers."""
         if self._names is None:
             self._names = list(symbols.keys())
             with open(self.path, "a") as f:
-                f.write("\t".join(self._names) + "\n")
+                f.write("".join(n + "\t" for n in self._names) + "\n")
         missing = set(symbols) - set(self._names)
         if missing:
             raise ValueError(f"unknown log symbols {sorted(missing)}; "
                              f"header has {self._names}")
-        row = [f"{float(symbols.get(n, float('nan'))):.6g}" for n in self._names]
+        row = "".join(f"{float(symbols.get(n, float('nan'))):11.4e}\t"
+                      for n in self._names)
         with open(self.path, "a") as f:
-            f.write("\t".join(row) + "\n")
+            f.write(row + "\n")
 
     def read(self) -> Dict[str, list]:
         lines = self.path.read_text().splitlines()
-        names = lines[0].split("\t")
+        names = lines[0].rstrip("\t").split("\t")
         cols: Dict[str, list] = {n: [] for n in names}
         for line in lines[1:]:
-            for n, v in zip(names, line.split("\t")):
+            for n, v in zip(names, line.rstrip("\t").split("\t")):
                 cols[n].append(float(v))
         return cols
 

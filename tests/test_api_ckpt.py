@@ -199,6 +199,27 @@ class TestLogger:
         assert cols["avg loss (train set)"] == [1.5, 1.25]
         assert cols["avg epe (train set)"] == [3.25, 3.0]
 
+    def test_reference_byte_format(self, tmp_path):
+        """Rows use %11.4e with a trailing tab per column
+        (myLogger.lua:74-79,98-106) — byte-compatible with reference
+        train.log consumers."""
+        log = SymbolLogger(tmp_path / "t.log")
+        log.add({"a": 1.5, "b": -0.25})
+        header, row = (tmp_path / "t.log").read_text().splitlines()
+        assert header == "a\tb\t"
+        assert row == " 1.5000e+00\t-2.5000e-01\t"
+
+    def test_reads_lua_written_log(self, tmp_path):
+        """A log written by the reference (trailing tabs) parses and
+        appends cleanly."""
+        (tmp_path / "lua.log").write_text(
+            "loss\tepe\t\n 1.0000e+00\t 2.0000e+00\t\n")
+        log = SymbolLogger(tmp_path / "lua.log")
+        log.add({"loss": 3.0, "epe": 4.0})
+        cols = log.read()
+        assert cols["loss"] == [1.0, 3.0]
+        assert cols["epe"] == [2.0, 4.0]
+
     def test_reopen_appends(self, tmp_path):
         SymbolLogger(tmp_path / "t.log").add({"a": 1.0})
         log2 = SymbolLogger(tmp_path / "t.log")
