@@ -221,6 +221,19 @@ class TestOBCC:
         want = np_obcc_forward(*group, cfg, 4.0)
         assert got == pytest.approx(want, rel=1e-5)
 
+    @pytest.mark.parametrize("past_flow", [False, True])
+    def test_forward_vs_oracle_frames5(self, past_flow):
+        """5-frame window: per-frame displacement multipliers span
+        -2..-1 (past, past-flow when enabled) and 1..2 (future), with
+        the occ-channel routing per direction (OBCCriterion.lua:79-93)."""
+        cfg = PhotoConfig(frames=5, penalty="L1", past_flow=past_flow)
+        group = make_group(frames=5, seed=31)
+        fn = make_obcc(cfg, 2.0)
+        got = float(fn(*[jnp.asarray(a) if not isinstance(a, tuple)
+                         else tuple(map(jnp.asarray, a)) for a in group]))
+        want = np_obcc_forward(*group, cfg, 2.0)
+        assert got == pytest.approx(want, rel=1e-5)
+
     def test_warped_grads_match_autodiff(self):
         """Image gradients are analytic in the reference -> must equal
         autodiff of the forward."""
@@ -407,6 +420,16 @@ class TestSSIMFamily:
             jnp.asarray(target)))
         want = np_ssim_forward(flow, flow_past if past_flow else None, occ,
                                warped, target, cfg, 0.7,
+                               occlusion_aware=False)
+        assert got == pytest.approx(want, rel=2e-5)
+
+    def test_mssim_forward_vs_oracle_frames5(self):
+        cfg = PhotoConfig(frames=5, alpha=0.85)
+        flow, _, occ, warped, target = make_group(frames=5, seed=32)
+        got = float(make_mssim_l1(cfg, 0.5)(
+            jnp.asarray(flow), None, jnp.asarray(occ),
+            tuple(map(jnp.asarray, warped)), jnp.asarray(target)))
+        want = np_ssim_forward(flow, None, occ, warped, target, cfg, 0.5,
                                occlusion_aware=False)
         assert got == pytest.approx(want, rel=2e-5)
 
