@@ -105,6 +105,10 @@ class Options:
     use_pallas: bool = True            # fused TPU kernels for warp/cost-volume
     reference_grads: bool = True       # replicate hand-written reference VJPs
     prefetch_depth: int = 2            # device prefetch depth for data loader
+    # Batch wire format: 'f32' = reference-parity host pipeline; 'compact'
+    # ships uint8 images (normalization deferred to the device) + f16 gt,
+    # 3.3x less H2D traffic per step (data/wire.py).
+    wire: str = "f32"
     # Reference rebuilds optimState each epoch, resetting Adam moments
     # (train.lua:112-121). False keeps moments across epochs (and makes
     # -cont restore them from optimState_<e>).
@@ -155,6 +159,15 @@ class Options:
         # supervised optimization requires ground truth (opts.lua:146-148)
         if opt.optimize == "epe":
             opt.ground_truth = True
+
+        # compact wire defers normalization to the device; it cannot
+        # represent the -normalize_images 0 quirk where the trainHook
+        # skips normalization but the testHook applies it anyway
+        # (data/wire.py) — reject rather than silently diverge
+        if opt.wire not in ("f32", "compact"):
+            raise ValueError(f"--wire {opt.wire!r}: use 'f32' or 'compact'")
+        if opt.wire == "compact" and opt.normalize_images != 1:
+            raise ValueError("--wire compact requires --normalize_images 1")
 
         # only pwc supports past_flow / conversion (opts.lua:150-154)
         if opt.netType != "pwc":

@@ -10,11 +10,12 @@ from .manifest import (SampleSpec, load_manifest, load_manifest_cached,
 from .sample import SampleConfig, train_sample, test_sample, make_data
 from .loader import FlowDataset, PrefetchLoader, collate, device_prefetch
 from .resample import resize
+from .wire import decode_batch, encode_batch
 
 __all__ = [
     "SampleSpec", "load_manifest", "load_manifest_cached", "load_split",
     "write_manifest",
     "SampleConfig", "train_sample", "test_sample", "make_data",
     "FlowDataset", "PrefetchLoader", "collate", "device_prefetch",
-    "resize",
+    "resize", "decode_batch", "encode_batch",
 ]

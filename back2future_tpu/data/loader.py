@@ -76,14 +76,21 @@ class FlowDataset:
             return train_sample(spec, self.cfg, rng, self.image_loader)
         return test_sample(spec, self.cfg, self.image_loader)
 
+    def collate_batch(self, samples: Sequence) -> Dict[str, np.ndarray]:
+        """Stack + pack into the configured wire format (data/wire.py)."""
+        from .wire import encode_batch
+
+        return encode_batch(collate(samples), self.cfg.wire)
+
     def sample(self, q: int, rng: np.random.Generator) -> Dict[str, np.ndarray]:
         """q uniform-random samples with replacement (dataset.lua:123-138)."""
         ids = rng.integers(0, len(self), size=q)
-        return collate([self.load(int(i), rng) for i in ids])
+        return self.collate_batch([self.load(int(i), rng) for i in ids])
 
     def get(self, i1: int, i2: int) -> Dict[str, np.ndarray]:
         """Sequential inclusive-exclusive range [i1, i2) (dataset.lua:140-155)."""
-        return collate([self.load(i) for i in range(i1, min(i2, len(self)))])
+        return self.collate_batch(
+            [self.load(i) for i in range(i1, min(i2, len(self)))])
 
 
 class PrefetchLoader:
@@ -178,7 +185,7 @@ class PrefetchLoader:
                                     min(base + hi, len(self.dataset)))
         rng = np.random.default_rng((self.manual_seed, epoch, slot))
         ids = rng.integers(0, len(self.dataset), size=self.batch_size)
-        return collate([self.dataset.load(
+        return self.dataset.collate_batch([self.dataset.load(
             int(ids[pos]),
             np.random.default_rng((self.manual_seed, epoch, slot, pos)))
             for pos in range(lo, hi)])

@@ -56,6 +56,8 @@ class SampleConfig:
     load_height: int = 320      # augmentation crop target (opt.loadSize)
     load_width: int = 640
     rand_crop: int = 1
+    wire: str = "f32"           # 'compact' defers normalization to the
+    #                             device and packs u8/f16 (data/wire.py)
 
     @classmethod
     def from_options(cls, opt) -> "SampleConfig":
@@ -65,7 +67,15 @@ class SampleConfig:
                    flownet_factor=opt.flownet_factor, scale=opt.scale,
                    fine_height=opt.fineHeight, fine_width=opt.fineWidth,
                    load_height=opt.loadSize[1], load_width=opt.loadSize[2],
-                   rand_crop=opt.rand_crop)
+                   rand_crop=opt.rand_crop, wire=getattr(opt, "wire", "f32"))
+
+    @property
+    def defer_normalize(self) -> bool:
+        """Compact wire ships [0,1] images; ImageNet normalization moves
+        into the jitted step (wire.decode_batch). config.derive()
+        guarantees normalize_images==1 here, so the trainHook/testHook
+        normalization behavior stays identical."""
+        return self.wire == "compact"
 
     @property
     def ref0(self) -> int:
@@ -191,10 +201,12 @@ def train_sample(spec: SampleSpec, cfg: SampleConfig,
             x0 = min(x0, max(iw - cfg.load_width, 0))
             sl = np.s_[y0:y0 + cfg.load_height, x0:x0 + cfg.load_width]
             images, flow, occ, mask = images[sl], flow[sl], occ[sl], mask[sl]
-        images = preprocess(images, rng, normalize=cfg.normalize_images == 1)
+        images = preprocess(images, rng,
+                            normalize=(cfg.normalize_images == 1
+                                       and not cfg.defer_normalize))
     else:
         images = np.concatenate(frames, axis=-1)
-        if cfg.normalize_images == 1:
+        if cfg.normalize_images == 1 and not cfg.defer_normalize:
             images = color_normalize(images)
 
     if cfg.flownet_factor != 1:
@@ -217,5 +229,7 @@ def test_sample(spec: SampleSpec, cfg: SampleConfig,
     flow, occ, mask = load_ground_truth(spec, cfg, h, w)
     if cfg.flownet_factor != 1:
         flow = flow / cfg.flownet_factor
-    images = color_normalize(np.concatenate(frames, axis=-1))
+    images = np.concatenate(frames, axis=-1)
+    if not cfg.defer_normalize:
+        images = color_normalize(images)
     return make_data(images, flow, occ, mask, cfg, rng=None)

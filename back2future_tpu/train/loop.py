@@ -120,13 +120,15 @@ def _debug_dump(save: str, epoch: int, i: int, model, params, batch,
     import jax
 
     from ..data.augment import IMAGENET_MEAN, IMAGENET_STD
+    from ..data.wire import decode_batch
     from ..io.png16 import write_png
 
     out_dir = Path(save) / "tmp"
     out_dir.mkdir(parents=True, exist_ok=True)
     fwd = _debug_dump.__dict__.setdefault(
-        id(model), jax.jit(lambda p, x: model.apply({"params": p}, x)))
-    outputs = fwd(params, batch["images"])
+        id(model), jax.jit(lambda p, b: model.apply(
+            {"params": p}, decode_batch(b)["images"])))
+    outputs = fwd(params, batch)
     g0 = outputs[0]
     rc = (0 if frames == 2 else (frames - 1) // 2) * 3
 
@@ -135,7 +137,9 @@ def _debug_dump(save: str, epoch: int, i: int, model, params, batch,
         return (np.clip(x, 0, 1) * 255).astype(np.uint8)
 
     ref_img = np.asarray(batch["images"][0][..., rc:rc + 3])
-    write_png(out_dir / f"e{epoch}_b{i}_ref.png", unnorm(ref_img))
+    write_png(out_dir / f"e{epoch}_b{i}_ref.png",
+              ref_img if ref_img.dtype == np.uint8  # compact wire: raw u8
+              else unnorm(ref_img))
     for k, wimg in enumerate(g0["warped"]):
         write_png(out_dir / f"e{epoch}_b{i}_warp{k}.png",
                   unnorm(np.asarray(wimg[0], np.float32)))

@@ -38,6 +38,11 @@ def make_train_step(model, opt, crits, donate: bool = True) -> Callable:
         tx = make_optimizer(opt, epoch=1, lr_override=lr)
 
         def train_step(state: TrainState, batch: Dict[str, Any]):
+            # compact-wire batches arrive u8/f16; the decode (+ deferred
+            # ImageNet normalization) happens here inside the jit, where
+            # XLA fuses it into the first consumers (data/wire.py)
+            from ..data.wire import decode_batch
+            batch = decode_batch(batch)
             (loss, (comps, outputs)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params, batch)
             updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
@@ -72,6 +77,8 @@ def make_eval_step(model, opt, crits) -> Callable:
 
     @jax.jit
     def eval_step(params, batch):
+        from ..data.wire import decode_batch
+        batch = decode_batch(batch)
         outputs = model.apply({"params": params}, batch["images"])
         loss, comps = multiscale_loss(outputs, batch, opt, crits)
         logs = {"loss": loss, **comps}

@@ -94,6 +94,8 @@ def main(argv=None) -> None:
 
     @jax.jit
     def metrics_step(params, batch):
+        from back2future_tpu.data.wire import decode_batch
+        batch = decode_batch(batch)  # no-op for the default f32 wire
         outs = model.apply({"params": params}, batch["images"])
         g0 = outs[0]
         metrics = full_res_metrics(
