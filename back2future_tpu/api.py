@@ -151,6 +151,7 @@ class FlowEstimator:
         self.params = replicate(params, mesh) if mesh is not None else params
         self._jit = jax.jit(
             lambda p, x: self._finest(self.model.apply({"params": p}, x)))
+        self._jit_video = jax.jit(self._video_forward)
         self._seen_buckets: set = set()
         self._in_warmup = False
 
@@ -246,6 +247,80 @@ class FlowEstimator:
         flow_d, occ_d = self._forward(jnp.asarray(imgs))
         return _postprocess_results(flow_d, occ_d, n, height, width)
 
+
+    def _video_forward(self, p, frames_n):
+        """Jitted streaming forward: pyramid once per frame, one batched
+        decode over all sliding windows from sliced pyramids."""
+        import jax.numpy as jnp
+
+        F = self.config.frames
+        w = frames_n.shape[0] - F + 1
+        cs_all = self.model.apply({"params": p}, frames_n, method="pyramid")
+        cs = {f: {l: feat[f - 1: f - 1 + w] for l, feat in cs_all.items()}
+              for f in range(1, F + 1)}
+        x = jnp.concatenate(
+            [frames_n[f - 1: f - 1 + w] for f in range(1, F + 1)], axis=-1)
+        return self._finest(
+            self.model.apply({"params": p}, x, cs, method="from_pyramids"))
+
+    def compute_flow_video(self, frames
+                           ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Streaming video inference — beyond the reference's per-triplet
+        computeFlow: `frames` is a whole (N, H, W, 3) sequence in [0,1]
+        (or a list of (H, W, 3) images), N >= the model's frame count F.
+        Computes results for all N-F+1 sliding F-frame windows, each
+        identical in math to compute_flow on that window's frames — but
+        each frame's siamese feature pyramid runs ONCE instead of once
+        per window: the extractor convs drop from F*(N-F+1) to N
+        frame-runs (~3x less pyramid work for F=3 on long sequences) and
+        every window decodes in one batched forward whose per-frame
+        features are slices of the shared N-frame pyramid.
+
+        Returns (flows (N-F+1, H, W, 2) float32 raw network units,
+        fwd_occs, bwd_occs (N-F+1, H, W) bool); window t covers
+        frames[t:t+F] with flow at its reference (center) frame.
+
+        jit specializes per (N, H64, W64) — stream fixed-length chunks at
+        a fixed resolution, exactly like the batch path's buckets.
+        """
+        import jax.numpy as jnp
+
+        F = self.config.frames
+        if self.mesh is not None:
+            raise ValueError(
+                "compute_flow_video is single-device (the window batch is "
+                "coupled across frames); shard a workload by scene/chunk "
+                "across chips instead, one estimator each")
+        arr = (np.asarray(frames, np.float32) if isinstance(frames, np.ndarray)
+               else np.stack([np.asarray(f, np.float32) for f in frames]))
+        if arr.ndim != 4 or arr.shape[-1] != 3:
+            raise ValueError(
+                f"expected (N, H, W, 3) video frames, got {arr.shape}")
+        if arr.shape[0] < F:
+            raise ValueError(
+                f"need at least frames={F} video frames, got {arr.shape[0]}")
+        arr = color_normalize(arr)
+        n, height, width = arr.shape[:3]
+        fine_h, fine_w = _round_down_64(height), _round_down_64(width)
+        if (fine_h, fine_w) != (height, width):
+            arr = np.stack([resize(im, fine_h, fine_w, "bilinear")
+                            for im in arr])
+
+        bucket = ("video", n, fine_h, fine_w)
+        if bucket not in self._seen_buckets:
+            self._seen_buckets.add(bucket)
+            if len(self._seen_buckets) > 1 and not self._in_warmup:
+                import warnings
+
+                warnings.warn(
+                    f"compute_flow_video: new shape bucket (N, H, W)="
+                    f"{bucket[1:]} triggers a fresh XLA compile (minutes "
+                    f"through the TPU relay). Stream fixed-length chunks "
+                    f"at a fixed resolution.", stacklevel=2)
+
+        flow_d, occ_d = self._jit_video(self.params, jnp.asarray(arr))
+        return _postprocess_results(
+            flow_d, occ_d, n - F + 1, height, width)
 
     def export(self, path, sizes) -> None:
         """AOT serving export: serialize the jitted forward (params baked

@@ -216,14 +216,80 @@ class PWCNet(nn.Module):
 
     def __call__(self, x: jax.Array) -> List[Dict[str, Any]]:
         cfg = self.cfg
-        F, ref, l_st = cfg.frames, cfg.ref, cfg.l_st
-        levels = cfg.levels
-        factor = cfg.flownet_factor
-        wb = lambda im, fl: warp_bilinear(im, fl, reference_grads=cfg.reference_grads)
+        F = cfg.frames
 
         if x.shape[-1] != 3 * F:
             raise ValueError(f"expected {3*F} input channels, got {x.shape[-1]}")
         x = x.astype(cfg.dtype)
+
+        Is = {f: x[..., 3 * (f - 1): 3 * f] for f in range(1, F + 1)}
+
+        # frame range with features/cost volumes (models/pwc.lua:161-166)
+        f_i, l_i = (cfg.ref, cfg.ref + 1) if cfg.two_frame == 1 else (1, F)
+
+        # feature pyramids: the weights are shared across frames (siamese),
+        # so run ONE conv chain over the frame-stacked batch and split —
+        # identical numerics, 3x larger conv batches (better MXU
+        # utilization for the small-channel early levels)
+        f_range = list(range(f_i, l_i + 1))
+        stacked = jnp.concatenate([Is[f] for f in f_range], axis=0)
+        css = self._features(stacked, cfg.levels)
+        n = x.shape[0]
+        cs = {f: {l: feat[k * n:(k + 1) * n] for l, feat in css.items()}
+              for k, f in enumerate(f_range)}
+
+        return self._decode(x, cs)
+
+    def pyramid(self, frame: jax.Array) -> Dict[int, jax.Array]:
+        """Siamese feature pyramid of ONE frame: (B, H, W, 3) -> {level:
+        (B, H/2^(l-1), W/2^(l-1), C_l)}. Exposed (via ``apply(...,
+        method=PWCNet.pyramid)``) for streaming video inference: in a
+        sliding F-frame window every frame's pyramid is identical in all
+        F windows it appears in (the extractor is weight-shared across
+        frames, models/pwc.lua:187-195, and depends only on the frame),
+        so a video pipeline computes N pyramids instead of F*(N-F+1) and
+        decodes from them with `from_pyramids` (api.compute_flow_video).
+        """
+        if frame.shape[-1] != 3:
+            raise ValueError(
+                f"pyramid() takes one (B, H, W, 3) frame, got channels="
+                f"{frame.shape[-1]}")
+        return self._features(frame.astype(self.cfg.dtype), self.cfg.levels)
+
+    def from_pyramids(self, x: jax.Array,
+                      cs: Dict[int, Dict[int, jax.Array]]
+                      ) -> List[Dict[str, Any]]:
+        """Forward from precomputed per-frame feature pyramids.
+
+        `x` is the usual (B, H, W, 3F) frame stack (still needed for the
+        photometric image warps); `cs[f][l]` is frame f's `pyramid()`
+        output. Produces the same outputs as ``__call__`` (the pyramid is
+        a pure per-frame function), without recomputing the extractor.
+        """
+        cfg = self.cfg
+        if x.shape[-1] != 3 * cfg.frames:
+            raise ValueError(
+                f"expected {3*cfg.frames} input channels, got {x.shape[-1]}")
+        f_i, l_i = (cfg.ref, cfg.ref + 1) if cfg.two_frame == 1 else \
+            (1, cfg.frames)
+        missing = [f for f in range(f_i, l_i + 1) if f not in cs]
+        if missing:
+            raise ValueError(f"from_pyramids: missing pyramids for frames "
+                             f"{missing} (need {f_i}..{l_i})")
+        cs = {f: {l: feat.astype(cfg.dtype) for l, feat in d.items()}
+              for f, d in cs.items()}
+        return self._decode(x.astype(cfg.dtype), cs)
+
+    def _decode(self, x: jax.Array, cs: Dict[int, Dict[int, jax.Array]]
+                ) -> List[Dict[str, Any]]:
+        """Coarse-to-fine decode given per-frame feature pyramids
+        (everything after the extractor: cost volumes, occ/flow decoders,
+        feature + image warps, output assembly)."""
+        cfg = self.cfg
+        F, ref, l_st = cfg.frames, cfg.ref, cfg.l_st
+        levels = cfg.levels
+        factor = cfg.flownet_factor
+        wb = lambda im, fl: warp_bilinear(im, fl, reference_grads=cfg.reference_grads)
 
         Is = {f: x[..., 3 * (f - 1): 3 * f] for f in range(1, F + 1)}
 
@@ -244,17 +310,6 @@ class PWCNet(nn.Module):
                 for _ in range(levels - l_st):
                     chain.append(_pin_img(avg_pool2(chain[-1])))
                 ds[f] = chain
-
-        # feature pyramids: the weights are shared across frames (siamese),
-        # so run ONE conv chain over the frame-stacked batch and split —
-        # identical numerics, 3x larger conv batches (better MXU
-        # utilization for the small-channel early levels)
-        f_range = list(range(f_i, l_i + 1))
-        stacked = jnp.concatenate([Is[f] for f in f_range], axis=0)
-        css = self._features(stacked, levels)
-        n = x.shape[0]
-        cs = {f: {l: feat[k * n:(k + 1) * n] for l, feat in css.items()}
-              for k, f in enumerate(f_range)}
 
         ws: Dict[int, Dict[int, jax.Array]] = {f: {} for f in range(1, F + 1)}
         ufs: Dict[int, jax.Array] = {}
