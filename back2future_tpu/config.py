@@ -109,6 +109,11 @@ class Options:
     # ships uint8 images (normalization deferred to the device) + f16 gt,
     # 3.3x less H2D traffic per step (data/wire.py).
     wire: str = "f32"
+    # Rematerialize the forward in the backward pass (jax.checkpoint):
+    # trades ~1 extra forward of FLOPs for not holding the activation
+    # pyramid in HBM — enables larger batch/resolution training. Exact
+    # (gradients are bit-identical; tests/test_remat.py).
+    remat: int = 0
     # Reference rebuilds optimState each epoch, resetting Adam moments
     # (train.lua:112-121). False keeps moments across epochs (and makes
     # -cont restore them from optimState_<e>).

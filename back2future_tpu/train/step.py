@@ -28,8 +28,19 @@ def make_train_step(model, opt, crits, donate: bool = True) -> Callable:
     the `lr` static argument closure.
     """
 
+    def apply_fn(params, images):
+        return model.apply({"params": params}, images)
+
+    if getattr(opt, "remat", 0):
+        # Recompute the forward during the backward instead of holding the
+        # full activation pyramid in HBM (-remat 1). nothing_saveable is
+        # the max-memory-saving policy; the forward is ~1/3 of step FLOPs
+        # so the time cost is bounded by ~+33%.
+        apply_fn = jax.checkpoint(
+            apply_fn, policy=jax.checkpoint_policies.nothing_saveable)
+
     def loss_fn(params, batch):
-        outputs = model.apply({"params": params}, batch["images"])
+        outputs = apply_fn(params, batch["images"])
         loss, comps = multiscale_loss(outputs, batch, opt, crits)
         return loss, (comps, outputs)
 
@@ -68,6 +79,9 @@ def make_train_step(model, opt, crits, donate: bool = True) -> Callable:
         from .optim import lr_for_epoch
         return step_for_lr(lr_for_epoch(state.epoch, opt.LR))(state, batch)
 
+    # expose the underlying jitted fn for AOT inspection (lower/compile
+    # memory analysis in tests and tools)
+    step.step_for_lr = step_for_lr
     return step
 
 
