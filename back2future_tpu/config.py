@@ -111,8 +111,10 @@ class Options:
     wire: str = "f32"
     # Rematerialize the forward in the backward pass (jax.checkpoint):
     # trades ~1 extra forward of FLOPs for not holding the activation
-    # pyramid in HBM — enables larger batch/resolution training. Exact
-    # (gradients are bit-identical; tests/test_remat.py).
+    # pyramid in HBM — enables larger batch/resolution training. The same
+    # ops are recomputed, so gradients are numerically equivalent (XLA may
+    # fuse/reassociate differently; tested to float tolerance in
+    # tests/test_remat.py).
     remat: int = 0
     # Reference rebuilds optimState each epoch, resetting Adam moments
     # (train.lua:112-121). False keeps moments across epochs (and makes

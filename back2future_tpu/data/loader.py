@@ -33,6 +33,23 @@ from .manifest import SampleSpec
 from .sample import SampleConfig, default_image_loader, test_sample, train_sample
 
 
+def _jax_backend_live() -> bool:
+    """True if this process has initialized a JAX backend (live PJRT
+    threads make os.fork() unsafe: a child can inherit a held lock and
+    deadlock — see PrefetchLoader._iter_processes). Never initializes a
+    backend itself; probes jax's internal registry."""
+    import sys
+
+    if "jax" not in sys.modules:
+        return False
+    try:
+        from jax._src import xla_bridge
+
+        return bool(xla_bridge._backends)
+    except Exception:
+        return True  # jax imported but unprobeable: assume the worst
+
+
 def collate(samples: Sequence) -> Dict[str, np.ndarray]:
     """Stack (images, target, mask) triples into batch arrays
     (dataset.lua:102-120)."""
@@ -265,15 +282,18 @@ class PrefetchLoader:
         seeding (see class docstring) makes the content identical to
         thread/sync modes.
 
-        Start method: "fork" by default (workers never touch JAX, the
-        standard dataloader mitigation for forking a JAX/CUDA-threaded
-        parent); B2F_MP_START=spawn gives fully clean workers at the
-        cost of per-epoch interpreter startup and requiring a picklable
-        dataset/image_loader."""
+        Start method: "fork" when the parent has not initialized a JAX
+        backend (cheapest startup; workers never touch JAX themselves),
+        "spawn" once one is live — forking a process with JAX/PJRT
+        threads holding a lock can deadlock a child (symptom: epoch
+        stalls with "loader worker died"/queue timeouts). Spawn costs
+        per-epoch interpreter startup and requires a picklable
+        dataset/image_loader; override either way with B2F_MP_START."""
         import multiprocessing as mp
         import os
 
-        method = os.environ.get("B2F_MP_START", "fork")
+        method = os.environ.get("B2F_MP_START", "") or (
+            "spawn" if _jax_backend_live() else "fork")
         ctx = mp.get_context(method)
         n = min(self.n_workers, self.n_batches) or 1
         out_q = ctx.Queue(maxsize=max(self.queue_depth, n))

@@ -6,7 +6,7 @@
 // (align-corners, ScaleBHWD convention: src = dst*(in-1)/(out-1)) and
 // nearest (src = floor(dst*in/out)) resizes, OpenMP-parallel over rows.
 // Semantics must match data/resample.py's NumPy implementation exactly —
-// the Python side A/B-tests them (tests/test_data_native.py).
+// the Python side A/B-tests them (tests/test_native.py).
 
 #include <algorithm>
 #include <cmath>

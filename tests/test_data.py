@@ -541,6 +541,24 @@ class TestLoaderModes:
         assert len(batches) == 2
         assert batches[0]["images"].shape == (2, 24, 32, 9)
 
+    def test_auto_start_method_spawns_when_jax_live(self, toy_dataset,
+                                                    monkeypatch):
+        """With no B2F_MP_START override and a live JAX backend (the test
+        process initialized CPU in conftest), the pool must pick spawn —
+        forking a JAX-threaded parent risks a child deadlock."""
+        import jax
+
+        from back2future_tpu.data.loader import _jax_backend_live
+
+        jax.devices()  # ensure the backend is live even if run alone
+        assert _jax_backend_live()
+        monkeypatch.delenv("B2F_MP_START", raising=False)
+        ds = self._ds(toy_dataset)
+        loader = PrefetchLoader(ds, batch_size=2, n_batches=2, n_workers=2,
+                                sequential=True, worker_mode="process")
+        batches = list(loader)  # spawn path end to end
+        assert len(batches) == 2
+
 
 class TestManifestCache:
     """On-disk loader metadata cache (donkey.lua:27-33 analog), with the

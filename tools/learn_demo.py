@@ -1,0 +1,204 @@
+#!/usr/bin/env python
+"""End-to-end learning demonstration on generated RoamingImages.
+
+The north-star accuracy gate (AEPE vs the reference's released
+Ours-Hard/Ours-Soft weights, BASELINE.md) is environment-blocked — the
+Dropbox `.t7` blobs and KITTI/Sintel images don't exist in this sandbox.
+This is the achievable stand-in: run the reference's own flagship recipe
+(README.md:83-103) on a `tools/make_roaming.py` dataset (exact gt flow +
+z-buffer occlusions in the reference's manifest format) and show the
+framework *learns* — EPE on a held-out split falling far below the
+zero-flow baseline, occlusion accuracy above chance, and the soft
+fine-tune surgery working on genuinely-trained weights:
+
+  stage 1  hard pretrain   -pme 1 -pme_criterion OBCC -smooth_flow 2
+                           (README.md:83-87, RoamingImages defaults)
+  stage 2  soft fine-tune  -pme_criterion OBGCC -pme_alpha 1 -pme_beta 0
+                           -pme_gamma 0 -smooth_flow 0.1 -LR 1e-5
+                           -smooth_second_order -const_vel 0.0001
+                           -past_flow -convert_to_soft -retrain <stage1>
+                           (the clean-data Sintel variant, README.md:98-103)
+  eval     tools/eval.py on the val split after each stage, plus the
+           zero-flow EPE baseline and a past-flow sanity check (linear
+           motion => past flow ~ negated future flow, pwc.lua:438).
+
+Writes `<out>/learning_demo.json` plus the raw train/test logs; run
+`--stage all` on the TPU (nohup + compile cache, per CLAUDE.md).
+
+    python tools/make_roaming.py --out /tmp/roaming --n 2000
+    nohup python tools/learn_demo.py --data /tmp/roaming \
+        --out docs/evidence/learning_demo > /tmp/learn.log 2>&1 &
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def run_cli(args, label):
+    cmd = [sys.executable, str(REPO / "main.py")] + args
+    print(f"\n=== {label} ===\n+ {' '.join(cmd[1:])}", flush=True)
+    t0 = time.time()
+    rc = subprocess.run(cmd, cwd=REPO).returncode
+    print(f"[{label}] wall {time.time() - t0:.1f}s rc={rc}", flush=True)
+    if rc != 0:
+        sys.exit(rc)
+
+
+def run_eval(ckpt, data, label):
+    cmd = [sys.executable, str(REPO / "tools" / "eval.py"),
+           "--checkpoint", str(ckpt), "--dataset", "RoamingImages",
+           "--datasets_dir", str(Path(data) / "datasets"),
+           "--data_root", str(Path(data) / "data"), "--split", "val",
+           "--batchSize", "8"]
+    print(f"\n=== eval:{label} ===\n+ {' '.join(cmd[1:])}", flush=True)
+    out = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
+    print(out.stdout + out.stderr, flush=True)
+    if out.returncode != 0:
+        sys.exit(out.returncode)
+    metrics = json.loads(out.stdout.strip().splitlines()[-1])
+    print(f"[eval:{label}] {metrics}", flush=True)
+    return metrics
+
+
+def zero_flow_baseline(data: Path) -> dict:
+    """EPE of predicting zero flow on the val split = mean |gt| px,
+    and the all-visible occlusion-accuracy chance level."""
+    from back2future_tpu.data import load_manifest, load_split
+    from back2future_tpu.io.flow_io import load_disp, load_flo
+
+    specs = load_manifest(data / "datasets" / "RoamingImages.dat",
+                          ground_truth=True, root=str(data / "data"))
+    _, val = load_split(data / "datasets" / "RoamingImages_split.dat")
+    epes, occ_acc = [], []
+    for i in val:
+        s = specs[int(i)]
+        flo = Path(s.flow_pattern % s.ref)
+        flow = load_flo(flo)
+        epes.append(float(np.mean(np.hypot(flow[..., 0], flow[..., 1]))))
+        occ = load_disp(flo.with_name(flo.stem + "_occ_3.disp"))
+        occ_acc.append(float(np.mean(occ == 0)))  # predict "visible"
+    return {"zero_flow_epe": float(np.mean(epes)),
+            "all_visible_occ_acc": float(np.mean(occ_acc)),
+            "n_val": len(val)}
+
+
+def past_flow_sanity(ckpt, data: Path) -> dict:
+    """Linear motion: the soft model's past-flow head should produce
+    ~ the negated future flow (models/pwc.lua:438's hard constraint,
+    which stage 2's fine-tune starts from)."""
+    import jax
+
+    from back2future_tpu.config import Options
+    from back2future_tpu.data import (FlowDataset, SampleConfig,
+                                      load_manifest, load_split)
+    from back2future_tpu.models.factory import model_for_config
+    from back2future_tpu.train.checkpoint import load_model_checkpoint
+
+    params, cfg = load_model_checkpoint(ckpt)
+    assert cfg.past_flow, "stage-2 checkpoint should have past-flow heads"
+    model = model_for_config(cfg)
+
+    opt = Options(dataset="RoamingImages", ground_truth=True,
+                  frames=cfg.frames, levels=cfg.levels, rand_crop=0).derive()
+    specs = load_manifest(data / "datasets" / "RoamingImages.dat",
+                          ground_truth=True, root=str(data / "data"))
+    _, val = load_split(data / "datasets" / "RoamingImages_split.dat")
+    ds = FlowDataset(specs, SampleConfig.from_options(opt), val[:8],
+                     train=False)
+    batch = ds.get(0, min(8, len(ds)))
+
+    fwd = jax.jit(lambda p, x: model.apply({"params": p}, x)[0])
+    g = fwd(params, batch["images"])
+    fut = np.asarray(g["flow"], np.float32)
+    past = np.asarray(g["flow_past"], np.float32)
+    denom = float(np.mean(np.hypot(fut[..., 0], fut[..., 1]))) + 1e-8
+    resid = float(np.mean(np.hypot(*(past + fut).transpose(3, 0, 1, 2))))
+    corr = float(np.corrcoef(past.ravel(), -fut.ravel())[0, 1])
+    return {"mean_|past+future|_over_mean_|future|": resid / denom,
+            "corr(past, -future)": corr}
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", default="/tmp/roaming")
+    ap.add_argument("--out", default="docs/evidence/learning_demo")
+    ap.add_argument("--cache", default="/tmp/learn_demo_ckpt")
+    ap.add_argument("--epochs1", type=int, default=10)
+    ap.add_argument("--epochs2", type=int, default=3)
+    ap.add_argument("--epoch_size", type=int, default=250)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--wire", default="compact",
+                    help="host->device wire (compact hides the relay's "
+                         "slow H2D; f32 = reference-parity pipeline)")
+    ap.add_argument("--stage", default="all",
+                    choices=["all", "hard", "soft", "eval"])
+    args = ap.parse_args(argv)
+
+    data = Path(args.data)
+    ds_dir = data / "datasets"
+    out = REPO / args.out
+    out.mkdir(parents=True, exist_ok=True)
+    cache = Path(args.cache)
+
+    common = ["--dataset", "RoamingImages", "--datasets_dir", str(ds_dir),
+              "--data_root", str(data / "data"), "--ground_truth", "1",
+              "--cache", str(cache), "--batchSize", str(args.batch),
+              "--epochSize", str(args.epoch_size), "--nDonkeys", "0",
+              "--wire", args.wire, "--epochStore", "1"]
+
+    hard_ckpt = cache / "hard" / f"model_{args.epochs1}.msgpack"
+    soft_ckpt = cache / "soft" / f"model_{args.epochs2}.msgpack"
+
+    if args.stage in ("all", "hard"):
+        run_cli(common + ["--expName", "hard", "--optimize", "pme",
+                          "--pme", "1", "--pme_criterion", "OBCC",
+                          "--smooth_flow", "2",
+                          "--nEpochs", str(args.epochs1)], "stage1-hard")
+
+    if args.stage in ("all", "soft"):
+        run_cli(common + ["--expName", "soft", "--optimize", "pme",
+                          "--retrain", str(hard_ckpt),
+                          "--convert_to_soft", "1", "--past_flow", "1",
+                          "--pme", "4", "--pme_criterion", "OBGCC",
+                          "--pme_alpha", "1", "--pme_beta", "0",
+                          "--pme_gamma", "0", "--smooth_flow", "0.1",
+                          "--smooth_second_order", "1",
+                          "--const_vel", "0.0001", "--LR", "0.00001",
+                          "--nEpochs", str(args.epochs2)], "stage2-soft")
+
+    report = {"dataset": str(data), "epochs": [args.epochs1, args.epochs2],
+              "epoch_size": args.epoch_size, "batch": args.batch,
+              "baseline": zero_flow_baseline(data)}
+    report["eval_hard"] = run_eval(hard_ckpt, data, "hard")
+    report["eval_soft"] = run_eval(soft_ckpt, data, "soft")
+    print("\n=== past-flow sanity ===", flush=True)
+    report["past_flow_sanity"] = past_flow_sanity(soft_ckpt, data)
+    print(report["past_flow_sanity"], flush=True)
+
+    for exp in ("hard", "soft"):
+        for f in ("train.log", "test.log", "log"):
+            src = cache / exp / f
+            if src.exists():
+                shutil.copy(src, out / f"{exp}_{f.replace('.log', '.tsv') if f != 'log' else 'console.txt'}")
+        for f in (cache / exp).glob("*.svg"):
+            shutil.copy(f, out / f"{exp}_{f.name}")
+
+    (out / "learning_demo.json").write_text(json.dumps(report, indent=2))
+    print(f"\nwrote {out / 'learning_demo.json'}", flush=True)
+    print(json.dumps(report), flush=True)
+
+
+if __name__ == "__main__":
+    main()
