@@ -88,7 +88,9 @@ def zero_flow_baseline(data: Path) -> dict:
         flow = load_flo(flo)
         epes.append(float(np.mean(np.hypot(flow[..., 0], flow[..., 1]))))
         occ = load_disp(flo.with_name(flo.stem + "_occ_3.disp"))
-        occ_acc.append(float(np.mean(occ == 0)))  # predict "visible"
+        # majority-class chance level: predict "visible" (= 0.5 in the
+        # {0, .5, 1} encoding, flowExtensions.lua:172-239) everywhere
+        occ_acc.append(float(np.mean(occ == 0.5)))
     return {"zero_flow_epe": float(np.mean(epes)),
             "all_visible_occ_acc": float(np.mean(occ_acc)),
             "n_val": len(val)}
