@@ -137,7 +137,15 @@ def main(argv=None) -> None:
     ap.add_argument("--data", default="/tmp/roaming")
     ap.add_argument("--out", default="docs/evidence/learning_demo")
     ap.add_argument("--cache", default="/tmp/learn_demo_ckpt")
-    ap.add_argument("--epochs1", type=int, default=10)
+    ap.add_argument("--epochs1", type=int, default=20)
+    ap.add_argument("--lr1", default="0.0003",
+                    help="stage-1 LR. The reference default regime (1e-4 + "
+                         "per-epoch Adam-moment reset, train.lua:66-92) is "
+                         "tuned for multi-day KITTI runs; at demo scale it "
+                         "sits visibly flat for thousands of steps. A "
+                         "one-batch overfit probe (400 steps, EPE 4.0->1.1) "
+                         "set this: 3e-4 + persistent moments learns at "
+                         "demo timescales, both via public CLI flags.")
     ap.add_argument("--epochs2", type=int, default=3)
     ap.add_argument("--epoch_size", type=int, default=250)
     ap.add_argument("--batch", type=int, default=8)
@@ -166,7 +174,8 @@ def main(argv=None) -> None:
     if args.stage in ("all", "hard"):
         run_cli(common + ["--expName", "hard", "--optimize", "pme",
                           "--pme", "1", "--pme_criterion", "OBCC",
-                          "--smooth_flow", "2",
+                          "--smooth_flow", "2", "--LR", args.lr1,
+                          "--adam_reset_per_epoch", "0",
                           "--nEpochs", str(args.epochs1)], "stage1-hard")
 
     if args.stage in ("all", "soft"):
@@ -178,6 +187,7 @@ def main(argv=None) -> None:
                           "--pme_gamma", "0", "--smooth_flow", "0.1",
                           "--smooth_second_order", "1",
                           "--const_vel", "0.0001", "--LR", "0.00001",
+                          "--adam_reset_per_epoch", "0",
                           "--nEpochs", str(args.epochs2)], "stage2-soft")
 
     report = {"dataset": str(data), "epochs": [args.epochs1, args.epochs2],

@@ -53,15 +53,25 @@ BG_DEPTH = 10.0  # any layer (depth 1..K) beats the background z-buffer
 
 
 def _smooth_texture(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
-    """Smooth random RGB field in [0,1]: coarse noise bilinearly upsampled
-    (smoothness keeps subpixel-bilinear warping nearly lossless, which is
-    what makes the brightness-constancy ground truth tight)."""
+    """Multi-octave random RGB field in [0,1]: noise at blob scales
+    64/16/4 px, bilinearly upsampled and summed with decreasing
+    amplitude. The octave mix matters for *learnability*: the coarse
+    octave drives the pyramid's top levels, while the mid/fine octaves
+    put real image gradient at the finer levels (a single 16 px octave
+    leaves the photometric loss nearly flat there — measured: the hard
+    recipe stalls at the zero-flow EPE on such data). Staying piecewise-
+    smooth keeps subpixel-bilinear warping nearly lossless, which is
+    what makes the brightness-constancy ground truth tight."""
     from back2future_tpu.data.resample import resize
 
-    coarse = rng.random((max(h // 16, 2), max(w // 16, 2), 3))
-    tex = resize(coarse.astype(np.float32), h, w, "bilinear")
-    tex += rng.normal(0, 0.015, tex.shape).astype(np.float32)
-    return np.clip(tex, 0.0, 1.0)
+    tex = np.zeros((h, w, 3), np.float32)
+    for blob, amp in ((64, 1.0), (16, 0.5), (4, 0.25)):
+        coarse = rng.random((max(h // blob, 2), max(w // blob, 2), 3))
+        tex += amp * resize(coarse.astype(np.float32), h, w, "bilinear")
+    # stretch to full [0,1] contrast (the octave sum is bell-shaped)
+    tex -= tex.min()
+    tex /= max(float(tex.max()), 1e-6)
+    return tex
 
 
 def _photo_texture(rng: np.random.Generator, pool, h: int, w: int):
