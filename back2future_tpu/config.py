@@ -120,6 +120,13 @@ class Options:
     # (train.lua:112-121). False keeps moments across epochs (and makes
     # -cont restore them from optimState_<e>).
     adam_reset_per_epoch: bool = True
+    # Global-norm gradient clipping before the optimizer update (no
+    # reference analog — torch optim never clipped). 0 disables. The
+    # sum-mode multiscale loss produces occasional per-batch gradient
+    # spikes that can blow up the flow decoders at demo-scale LRs
+    # (observed: smooth_flow -> 1e13 at LR 3e-4 on RoamingImages);
+    # clipping bounds the step those spikes take.
+    grad_clip: float = 0.0
 
     # Filled in by `derive()`:
     save: str = ""

@@ -29,18 +29,21 @@ def make_optimizer(opt, epoch: int,
     """Build the optimizer for one epoch's regime (or a pinned LR)."""
     lr = lr_override if lr_override > 0 else lr_for_epoch(epoch, opt.LR)
     wd = opt.weightDecay
+    clip = getattr(opt, "grad_clip", 0.0)
+    # chain order mirrors torch: weightDecay is added to the raw gradient
+    # first (L2, not decoupled), then the (optional, TPU-native) global-
+    # norm clip bounds the effective gradient, then the update rule
+    chain = []
+    if wd > 0:
+        chain.append(optax.add_decayed_weights(wd))
+    if clip > 0:
+        chain.append(optax.clip_by_global_norm(clip))
     if opt.optimizer == "adam":
-        # torch optim.adam defaults: beta1=0.9, beta2=0.999, eps=1e-8;
-        # weightDecay added to the raw gradient (L2, not decoupled)
-        tx = optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8)
-        if wd > 0:
-            tx = optax.chain(optax.add_decayed_weights(wd), tx)
-        return tx
-    if opt.optimizer == "sgd":
-        # torch optim.sgd: momentum with dampening=0, weightDecay on raw grad
-        chain = []
-        if wd > 0:
-            chain.append(optax.add_decayed_weights(wd))
+        # torch optim.adam defaults: beta1=0.9, beta2=0.999, eps=1e-8
+        chain.append(optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8))
+    elif opt.optimizer == "sgd":
+        # torch optim.sgd: momentum with dampening=0
         chain.append(optax.sgd(lr, momentum=opt.momentum))
-        return optax.chain(*chain)
-    raise ValueError(f"unknown optimizer {opt.optimizer!r}")
+    else:
+        raise ValueError(f"unknown optimizer {opt.optimizer!r}")
+    return chain[0] if len(chain) == 1 else optax.chain(*chain)

@@ -53,6 +53,29 @@ class TestLR:
         assert lr_for_epoch(100, base_lr=2e-3) == pytest.approx(2e-3)
 
 
+class TestGradClip:
+    def test_bounds_update_norm(self):
+        # SGD makes the clip observable: update = -lr * clipped_grad,
+        # so a 1e6-norm gradient clipped at 2.0 yields an update of
+        # norm lr * 2.0 exactly (adam would renormalize it away).
+        from back2future_tpu.train.optim import make_optimizer
+        opt = tiny_options(optimizer="sgd", momentum=0.0, LR=0.5,
+                           grad_clip=2.0)
+        tx = make_optimizer(opt, epoch=1)
+        params = {"w": jnp.zeros(3)}
+        grads = {"w": jnp.asarray([1e6, 0.0, 0.0])}
+        updates, _ = tx.update(grads, tx.init(params), params)
+        assert float(jnp.linalg.norm(updates["w"])) == pytest.approx(
+            0.5 * 2.0, rel=1e-5)
+
+    def test_off_by_default_and_cli(self, tmp_path):
+        from back2future_tpu.config import parse_args
+        opt = tiny_options()
+        assert opt.grad_clip == 0.0
+        o = parse_args(["--grad_clip", "250", "--cache", str(tmp_path)])
+        assert o.grad_clip == pytest.approx(250.0)
+
+
 class TestConvertGtOcc:
     def test_three_state(self):
         occ = jnp.asarray([[[[0.0], [0.5], [1.0]]]])

@@ -146,6 +146,10 @@ def main(argv=None) -> None:
                          "one-batch overfit probe (400 steps, EPE 4.0->1.1) "
                          "set this: 3e-4 + persistent moments learns at "
                          "demo timescales, both via public CLI flags.")
+    ap.add_argument("--clip1", default="500",
+                    help="stage-1 --grad_clip global norm (init grad norm "
+                         "is ~420; unclipped 3e-4 diverged at ~epoch 7 "
+                         "from a per-batch gradient spike). 0 disables.")
     ap.add_argument("--epochs2", type=int, default=3)
     ap.add_argument("--epoch_size", type=int, default=250)
     ap.add_argument("--batch", type=int, default=8)
@@ -175,6 +179,7 @@ def main(argv=None) -> None:
         run_cli(common + ["--expName", "hard", "--optimize", "pme",
                           "--pme", "1", "--pme_criterion", "OBCC",
                           "--smooth_flow", "2", "--LR", args.lr1,
+                          "--grad_clip", args.clip1,
                           "--adam_reset_per_epoch", "0",
                           "--nEpochs", str(args.epochs1)], "stage1-hard")
 
@@ -187,6 +192,7 @@ def main(argv=None) -> None:
                           "--pme_gamma", "0", "--smooth_flow", "0.1",
                           "--smooth_second_order", "1",
                           "--const_vel", "0.0001", "--LR", "0.00001",
+                          "--grad_clip", args.clip1,
                           "--adam_reset_per_epoch", "0",
                           "--nEpochs", str(args.epochs2)], "stage2-soft")
 
