@@ -38,8 +38,11 @@ def make_dataset(root: Path, n_seqs: int, frames: int = 3) -> Path:
             write_png(img_dir / f"{s:06d}_{f:02d}.png",
                       np.roll(base, s * 7 + f * 3, axis=1))
     man = root / "bench.dat"
+    # reference frame = the window center (frames are written 0-based,
+    # so frames=3 -> ref 1, frames=5 -> ref 2), matching donkey.lua's
+    # ref +/- (opt.frames-1)/2 window
     man.write_text("".join(
-        f"{img_dir}/{s:06d}_%02d.png 1\n" for s in range(n_seqs)))
+        f"{img_dir}/{s:06d}_%02d.png {frames // 2}\n" for s in range(n_seqs)))
     return man
 
 

@@ -34,13 +34,25 @@ def main() -> None:
     ap.add_argument("--epoch_size", type=int, default=12)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--workers", type=int, default=0)
+    ap.add_argument("--frames", type=int, default=3,
+                    help="training window (2, 3, 5, ...); the synthetic "
+                         "dataset is generated with this many frames")
+    ap.add_argument("--cropWidth", type=int, default=640)
+    ap.add_argument("--cropHeight", type=int, default=320,
+                    help="e.g. 384 for the Sintel training shape "
+                         "(opts.lua:125-130)")
+    ap.add_argument("--recipe", default="hard", choices=["hard", "soft"],
+                    help="hard = OBCC + flow/occ smoothness (the KITTI "
+                         "pretrain surface); soft = OBGCC + past_flow + "
+                         "const_vel + second-order smoothness (the Sintel "
+                         "fine-tune surface, README.md:98-103)")
     ap.add_argument("--keep", default="", help="copy the save dir here")
     args = ap.parse_args()
 
     repo = Path(__file__).resolve().parent.parent
     with tempfile.TemporaryDirectory() as td:
         root = Path(td)
-        man = make_dataset(root / "data", n_seqs=24)
+        man = make_dataset(root / "data", n_seqs=24, frames=args.frames)
         ds_dir = root / "datasets"
         ds_dir.mkdir()
         (ds_dir / "Smoke.dat").write_text(man.read_text())
@@ -50,14 +62,25 @@ def main() -> None:
             "".join("2\n" if i % 3 == 0 else "1\n" for i in range(24)))
         save = root / "run" / "smoke"
 
+        if args.recipe == "hard":
+            loss_flags = ["--pme_criterion", "OBCC",
+                          "--smooth_flow", "0.1", "--smooth_occ", "0.1",
+                          "--prior_occ", "0.1"]
+        else:
+            loss_flags = ["--pme", "4", "--pme_criterion", "OBGCC",
+                          "--pme_alpha", "1", "--pme_beta", "0",
+                          "--pme_gamma", "0", "--past_flow", "1",
+                          "--smooth_flow", "0.1",
+                          "--smooth_second_order", "1",
+                          "--const_vel", "0.0001"]
         cmd = [sys.executable, str(repo / "main.py"),
                "--dataset", "Smoke",
                "--datasets_dir", str(ds_dir),
                "--cache", str(root / "run"), "--expName", "smoke",
-               "--optimize", "pme", "--pme_criterion", "OBCC",
-               "--smooth_flow", "0.1", "--smooth_occ", "0.1",
-               "--prior_occ", "0.1",
-               "--cropWidth", "640", "--cropHeight", "320",
+               "--optimize", "pme", *loss_flags,
+               "--frames", str(args.frames),
+               "--cropWidth", str(args.cropWidth),
+               "--cropHeight", str(args.cropHeight),
                "--batchSize", str(args.batch),
                "--nDonkeys", str(args.workers),
                "--nEpochs", str(args.epochs),
