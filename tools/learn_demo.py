@@ -97,9 +97,13 @@ def zero_flow_baseline(data: Path) -> dict:
 
 
 def past_flow_sanity(ckpt, data: Path) -> dict:
-    """Linear motion: the soft model's past-flow head should produce
-    ~ the negated future flow (models/pwc.lua:438's hard constraint,
-    which stage 2's fine-tune starts from)."""
+    """Linear motion: the soft model's past-flow head output should stay
+    ~ equal to the FUTURE flow. The head's output is consumed with the
+    negative multiplier ("past is left negative to copy weights of
+    pretrained model", models/pwc.lua:438), so +future is exactly the
+    negated past displacement the warp needs; the fine-tune starts there
+    (convert_to_soft copies the future decoder) and, on linear-motion
+    data, should keep it there rather than drift."""
     import jax
 
     from back2future_tpu.config import Options
@@ -126,10 +130,10 @@ def past_flow_sanity(ckpt, data: Path) -> dict:
     fut = np.asarray(g["flow"], np.float32)
     past = np.asarray(g["flow_past"], np.float32)
     denom = float(np.mean(np.hypot(fut[..., 0], fut[..., 1]))) + 1e-8
-    resid = float(np.mean(np.hypot(*(past + fut).transpose(3, 0, 1, 2))))
-    corr = float(np.corrcoef(past.ravel(), -fut.ravel())[0, 1])
-    return {"mean_|past+future|_over_mean_|future|": resid / denom,
-            "corr(past, -future)": corr}
+    resid = float(np.mean(np.hypot(*(past - fut).transpose(3, 0, 1, 2))))
+    corr = float(np.corrcoef(past.ravel(), fut.ravel())[0, 1])
+    return {"mean_|past-future|_over_mean_|future|": resid / denom,
+            "corr(past, future)": corr}
 
 
 def main(argv=None) -> None:
