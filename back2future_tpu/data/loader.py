@@ -23,6 +23,7 @@ flow_gt (B,H,W,2), occ_gt (B,H,W,2), mask (B,H,W).
 
 from __future__ import annotations
 
+import pickle
 import queue
 import threading
 from typing import Callable, Dict, Iterator, List, Optional, Sequence, Tuple
@@ -313,7 +314,19 @@ class PrefetchLoader:
                   max(self.queue_depth, n)), daemon=True)
             for w in range(n)]
         for p in procs:
-            p.start()
+            try:
+                p.start()
+            except (AttributeError, TypeError, pickle.PicklingError) as e:
+                # spawn ships the dataset to the child by pickle; a local
+                # closure / lambda image_loader that worked under fork
+                # fails here with an opaque reduction error
+                raise RuntimeError(
+                    f"loader worker start failed under the '{method}' "
+                    "start method because the dataset is not picklable "
+                    f"({e}). Use module-level functions for "
+                    "dataset/image_loader, or set B2F_MP_START=fork "
+                    "(only safe before JAX is initialized) or "
+                    "B2F_LOADER_MODE=thread.") from e
         try:
             pending: Dict[int, Dict[str, np.ndarray]] = {}
             for slot in range(self.n_batches):

@@ -240,6 +240,11 @@ class TestGeometric:
 
 # ------------------------------------------------------------------ hooks + loader
 
+def _boom(path):
+    """Module-level failing image loader (picklable for spawn workers)."""
+    raise RuntimeError("decode failed")
+
+
 @pytest.fixture
 def toy_dataset(tmp_path):
     """5-frame synthetic sequence with .flo/.disp gt for ref frame 3."""
@@ -400,14 +405,24 @@ class TestLoader:
             np.testing.assert_array_equal(a["images"], b)
 
     def test_worker_error_propagates(self, toy_dataset):
+        # _boom is module-level so the dataset stays picklable — the
+        # process pool spawns (not forks) when JAX is live in the parent,
+        # as it is by the time the suite reaches this test
         ds = self._dataset(toy_dataset)
-
-        def boom(path):
-            raise RuntimeError("decode failed")
-
-        ds.image_loader = boom
+        ds.image_loader = _boom
         loader = PrefetchLoader(ds, batch_size=2, n_batches=2, n_workers=2)
         with pytest.raises(RuntimeError, match="decode failed"):
+            list(loader)
+
+    def test_unpicklable_dataset_under_spawn_is_diagnosed(self, toy_dataset,
+                                                          monkeypatch):
+        """Spawn ships the dataset by pickle; a local closure must fail
+        with the actionable message, not a bare reduction error."""
+        monkeypatch.setenv("B2F_MP_START", "spawn")
+        ds = self._dataset(toy_dataset)
+        ds.image_loader = lambda path: None  # unpicklable on purpose
+        loader = PrefetchLoader(ds, batch_size=2, n_batches=2, n_workers=2)
+        with pytest.raises(RuntimeError, match="not picklable"):
             list(loader)
 
 
