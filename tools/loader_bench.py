@@ -25,13 +25,14 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
-def make_dataset(root: Path, n_seqs: int, frames: int = 3) -> Path:
+def make_dataset(root: Path, n_seqs: int, frames: int = 3,
+                 height: int = 375, width: int = 1242) -> Path:
     from back2future_tpu.io.png16 import write_png
 
     rng = np.random.default_rng(0)
     img_dir = root / "image_2"
     img_dir.mkdir(parents=True)
-    base = (rng.random((375, 1242, 3)) * 255).astype(np.uint8)
+    base = (rng.random((height, width, 3)) * 255).astype(np.uint8)
     for s in range(n_seqs):
         for f in range(frames):
             # roll a shared base image so frames differ but encode fast

@@ -52,7 +52,11 @@ def main() -> None:
     repo = Path(__file__).resolve().parent.parent
     with tempfile.TemporaryDirectory() as td:
         root = Path(td)
-        man = make_dataset(root / "data", n_seqs=24, frames=args.frames)
+        # source frames must cover the crop; Sintel-shape smokes (crop
+        # 384 px tall) need Sintel-sized (436x1024) frames, not KITTI's
+        h, w = ((436, 1024) if args.cropHeight > 375 else (375, 1242))
+        man = make_dataset(root / "data", n_seqs=24, frames=args.frames,
+                           height=h, width=w)
         ds_dir = root / "datasets"
         ds_dir.mkdir()
         (ds_dir / "Smoke.dat").write_text(man.read_text())
