@@ -11,6 +11,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import time
+import warnings
 from dataclasses import dataclass
 from pathlib import Path
 from typing import Tuple
@@ -173,6 +174,16 @@ class Options:
         # supervised optimization requires ground truth (opts.lua:146-148)
         if opt.optimize == "epe":
             opt.ground_truth = True
+            # parity footgun kept from the reference: -epe defaults to
+            # 0.0 (opts.lua:60), so supervised mode without an explicit
+            # weight multiplies the flow loss by zero and only the occ
+            # head trains (train.lua:312-314). Warn instead of silently
+            # burning a training run.
+            if opt.epe == 0.0:
+                warnings.warn(
+                    "--optimize epe with --epe 0 (the reference default): "
+                    "the supervised flow loss is weighted by zero and the "
+                    "flow decoders get no gradient; pass e.g. --epe 1")
 
         # compact wire defers normalization to the device; it cannot
         # represent the -normalize_images 0 quirk where the trainHook

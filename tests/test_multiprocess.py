@@ -144,7 +144,9 @@ def test_two_process_run_matches_single_host(tmp_path):
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=600)
+            # two full-model CPU compiles share this box's single core;
+            # under suite-wide contention 600s flakes (seen r4)
+            out, _ = p.communicate(timeout=1200)
             outs.append(out)
     except subprocess.TimeoutExpired:
         for p in procs:

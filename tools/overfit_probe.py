@@ -39,6 +39,12 @@ def main(argv=None) -> None:
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--wire", default="compact")
+    ap.add_argument("--optimize", default="pme", choices=["pme", "epe"],
+                    help="pme = the unsupervised hard OBCC recipe; epe = "
+                         "supervised multiscale EPE on the generator's gt "
+                         "(the reference's -optimize epe / -ground_truth "
+                         "mode, opts.lua) — isolates the optimizer/loss "
+                         "path from the photometric objective")
     ap.add_argument("--lr", default="0.0003")
     ap.add_argument("--grad_clip", default="500")
     ap.add_argument("--cpu", action="store_true")
@@ -72,8 +78,15 @@ def main(argv=None) -> None:
         "--ground_truth", "1", "--cache", "/tmp/overfit_probe",
         "--expName", "ob", "--batchSize", str(args.batch),
         "--epochSize", "1", "--nDonkeys", "0", "--wire", args.wire,
-        "--optimize", "pme", "--pme", "1", "--pme_criterion", "OBCC",
-        "--smooth_flow", "2", "--LR", args.lr, "--grad_clip",
+        "--optimize", args.optimize] + (
+        ["--pme", "1", "--pme_criterion", "OBCC", "--smooth_flow", "2"]
+        if args.optimize == "pme" else
+        # the reference defaults -epe to 0.0 (opts.lua:60), so supervised
+        # mode without an explicit weight multiplies the flow loss by
+        # zero (train.lua:312-314) and only the occ head learns — a
+        # parity-faithful footgun this tool must not reproduce
+        ["--epe", "1"]) + [
+        "--LR", args.lr, "--grad_clip",
         args.grad_clip, "--adam_reset_per_epoch", "0", "--nEpochs", "1"])
 
     np.random.seed(opt.manualSeed)
