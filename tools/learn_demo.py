@@ -11,6 +11,18 @@ framework *learns* — EPE on a held-out split falling far below the
 zero-flow baseline, occlusion accuracy above chance, and the soft
 fine-tune surgery working on genuinely-trained weights:
 
+  stage 0  saddle escape   the same hard recipe on a tiny (~10-scene)
+                           disjoint-seed roaming set. The unsupervised
+                           OBCC objective has a zero-flow SADDLE at
+                           init: per-scene constant-flow gradient
+                           components cancel across diverse batches, so
+                           escape time grows steeply with scene
+                           diversity (measured on the v5e: 1 fixed
+                           batch escapes at ~75 steps; 128 scenes still
+                           flat at 1000+; 1095 scenes flat at 800).
+                           A few hundred steps on a low-diversity set
+                           breaks the cancellation cheaply; stage 1
+                           then widens the data via --retrain.
   stage 1  hard pretrain   -pme 1 -pme_criterion OBCC -smooth_flow 2
                            (README.md:83-87, RoamingImages defaults)
   stage 2  soft fine-tune  -pme_criterion OBGCC -pme_alpha 1 -pme_beta 0
@@ -141,6 +153,11 @@ def main(argv=None) -> None:
     ap.add_argument("--data", default="/tmp/roaming")
     ap.add_argument("--out", default="docs/evidence/learning_demo")
     ap.add_argument("--cache", default="/tmp/learn_demo_ckpt")
+    ap.add_argument("--escape_data", default="/tmp/roam_escape",
+                    help="tiny low-diversity roaming set for the stage-0 "
+                         "saddle escape (make_roaming.py --n 10 --seed 1); "
+                         "'none' skips the stage")
+    ap.add_argument("--escape_epochs", type=int, default=2)
     ap.add_argument("--epochs1", type=int, default=20)
     ap.add_argument("--lr1", default="0.0003",
                     help="stage-1 LR. The reference default regime (1e-4 + "
@@ -161,7 +178,7 @@ def main(argv=None) -> None:
                     help="host->device wire (compact hides the relay's "
                          "slow H2D; f32 = reference-parity pipeline)")
     ap.add_argument("--stage", default="all",
-                    choices=["all", "hard", "soft", "eval"])
+                    choices=["all", "escape", "hard", "soft", "eval"])
     args = ap.parse_args(argv)
 
     data = Path(args.data)
@@ -176,16 +193,31 @@ def main(argv=None) -> None:
               "--epochSize", str(args.epoch_size), "--nDonkeys", "0",
               "--wire", args.wire, "--epochStore", "1"]
 
+    escape_ckpt = cache / "escape" / f"model_{args.escape_epochs}.msgpack"
     hard_ckpt = cache / "hard" / f"model_{args.epochs1}.msgpack"
     soft_ckpt = cache / "soft" / f"model_{args.epochs2}.msgpack"
+    use_escape = args.escape_data != "none" and args.escape_epochs > 0
+
+    hard_recipe = ["--optimize", "pme", "--pme", "1",
+                   "--pme_criterion", "OBCC", "--smooth_flow", "2",
+                   "--LR", args.lr1, "--grad_clip", args.clip1,
+                   "--adam_reset_per_epoch", "0"]
+
+    if use_escape and args.stage in ("all", "escape"):
+        esc = Path(args.escape_data)
+        esc_common = list(common)
+        esc_common[esc_common.index("--datasets_dir") + 1] = \
+            str(esc / "datasets")
+        esc_common[esc_common.index("--data_root") + 1] = str(esc / "data")
+        run_cli(esc_common + hard_recipe +
+                ["--expName", "escape",
+                 "--nEpochs", str(args.escape_epochs)], "stage0-escape")
 
     if args.stage in ("all", "hard"):
-        run_cli(common + ["--expName", "hard", "--optimize", "pme",
-                          "--pme", "1", "--pme_criterion", "OBCC",
-                          "--smooth_flow", "2", "--LR", args.lr1,
-                          "--grad_clip", args.clip1,
-                          "--adam_reset_per_epoch", "0",
-                          "--nEpochs", str(args.epochs1)], "stage1-hard")
+        retrain = ["--retrain", str(escape_ckpt)] if use_escape else []
+        run_cli(common + hard_recipe + retrain +
+                ["--expName", "hard",
+                 "--nEpochs", str(args.epochs1)], "stage1-hard")
 
     if args.stage in ("all", "soft"):
         run_cli(common + ["--expName", "soft", "--optimize", "pme",
@@ -200,7 +232,10 @@ def main(argv=None) -> None:
                           "--adam_reset_per_epoch", "0",
                           "--nEpochs", str(args.epochs2)], "stage2-soft")
 
-    report = {"dataset": str(data), "epochs": [args.epochs1, args.epochs2],
+    report = {"dataset": str(data),
+              "escape": {"data": args.escape_data,
+                         "epochs": args.escape_epochs} if use_escape else None,
+              "epochs": [args.epochs1, args.epochs2],
               "epoch_size": args.epoch_size, "batch": args.batch,
               "baseline": zero_flow_baseline(data)}
     report["eval_hard"] = run_eval(hard_ckpt, data, "hard")
@@ -209,7 +244,7 @@ def main(argv=None) -> None:
     report["past_flow_sanity"] = past_flow_sanity(soft_ckpt, data)
     print(report["past_flow_sanity"], flush=True)
 
-    for exp in ("hard", "soft"):
+    for exp in ("escape", "hard", "soft"):
         for f in ("train.log", "test.log", "log"):
             src = cache / exp / f
             if src.exists():
