@@ -96,6 +96,7 @@ class Options:
     pwc_sum_cvs: bool = False
 
     # ---------- TPU-native additions (no reference analog) ----------
+    platform: str = ""               # force a JAX platform ('cpu'); "" = env
     datasets_dir: str = "datasets"   # manifest directory (donkey.lua:78)
     data_root: str = ""              # replaces [PATH] in manifests (README.md:76-80)
     trace_dir: str = ""              # jax.profiler trace capture directory

@@ -18,6 +18,14 @@ from back2future_tpu.utils import TeeLogger, enable_compile_cache
 
 def main(argv=None) -> None:
     opt = parse_args(argv)
+    if opt.platform:
+        # Must land before the first backend touch. An env JAX_PLATFORMS
+        # is shadowed by sitecustomize-registered plugins; the config
+        # update is not (see CLAUDE.md) — this makes `--platform cpu`
+        # work for CPU-hermetic subprocess tests of the CLI.
+        import jax
+
+        jax.config.update("jax_platforms", opt.platform)
     enable_compile_cache()
     with TeeLogger(f"{opt.save}/log"):
         print(opt.to_json())

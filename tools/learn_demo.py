@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import shlex
 import shutil
 import subprocess
 import sys
@@ -56,6 +57,7 @@ import numpy as np
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tools"))
 
 
 def run_cli(args, label):
@@ -68,18 +70,30 @@ def run_cli(args, label):
         sys.exit(rc)
 
 
-def run_eval(ckpt, data, label):
+def run_eval(ckpt, data, label, batch=8, extra=()):
+    """Eval a checkpoint on the val split. NON-FATAL: a missing
+    checkpoint or a failing eval returns {"error": ...} so the partial
+    report (and the copied train/test logs) still gets written."""
+    ckpt = Path(ckpt)
+    if not ckpt.exists():
+        msg = f"checkpoint not found: {ckpt}"
+        print(f"[eval:{label}] SKIP — {msg}", flush=True)
+        return {"error": msg}
     cmd = [sys.executable, str(REPO / "tools" / "eval.py"),
            "--checkpoint", str(ckpt), "--dataset", "RoamingImages",
            "--datasets_dir", str(Path(data) / "datasets"),
            "--data_root", str(Path(data) / "data"), "--split", "val",
-           "--batchSize", "8"]
+           "--batchSize", str(batch)] + list(extra)
     print(f"\n=== eval:{label} ===\n+ {' '.join(cmd[1:])}", flush=True)
     out = subprocess.run(cmd, cwd=REPO, capture_output=True, text=True)
     print(out.stdout + out.stderr, flush=True)
     if out.returncode != 0:
-        sys.exit(out.returncode)
-    metrics = json.loads(out.stdout.strip().splitlines()[-1])
+        return {"error": f"eval rc={out.returncode}",
+                "tail": (out.stdout + out.stderr)[-2000:]}
+    try:
+        metrics = json.loads(out.stdout.strip().splitlines()[-1])
+    except (ValueError, IndexError) as e:
+        return {"error": f"eval output unparsable: {e}"}
     print(f"[eval:{label}] {metrics}", flush=True)
     return metrics
 
@@ -108,7 +122,7 @@ def zero_flow_baseline(data: Path) -> dict:
             "n_val": len(val)}
 
 
-def past_flow_sanity(ckpt, data: Path) -> dict:
+def past_flow_sanity(ckpt, data: Path, crop=(0, 0)) -> dict:
     """Linear motion: the soft model's past-flow head output should stay
     ~ equal to the FUTURE flow. The head's output is consumed with the
     negative multiplier ("past is left negative to copy weights of
@@ -129,7 +143,8 @@ def past_flow_sanity(ckpt, data: Path) -> dict:
     model = model_for_config(cfg)
 
     opt = Options(dataset="RoamingImages", ground_truth=True,
-                  frames=cfg.frames, levels=cfg.levels, rand_crop=0).derive()
+                  frames=cfg.frames, levels=cfg.levels, rand_crop=0,
+                  cropWidth=crop[0], cropHeight=crop[1]).derive()
     specs = load_manifest(data / "datasets" / "RoamingImages.dat",
                           ground_truth=True, root=str(data / "data"))
     _, val = load_split(data / "datasets" / "RoamingImages_split.dat")
@@ -179,13 +194,25 @@ def main(argv=None) -> None:
                          "slow H2D; f32 = reference-parity pipeline)")
     ap.add_argument("--stage", default="all",
                     choices=["all", "escape", "hard", "soft", "eval"])
+    ap.add_argument("--train_args", default="",
+                    help="extra main.py flags appended to every stage "
+                         "(shlex-split), e.g. '--platform cpu --levels 4 "
+                         "--cropWidth 64 --cropHeight 32' for a tiny "
+                         "CPU-hermetic run")
+    ap.add_argument("--eval_args", default="",
+                    help="extra tools/eval.py flags, e.g. '--cpu'")
     args = ap.parse_args(argv)
 
     data = Path(args.data)
     ds_dir = data / "datasets"
+    if not (ds_dir / "RoamingImages.dat").exists():
+        sys.exit(f"--data {data}: no datasets/RoamingImages.dat — generate "
+                 f"with: python tools/make_roaming.py --out {data} --n 300")
     out = REPO / args.out
     out.mkdir(parents=True, exist_ok=True)
     cache = Path(args.cache)
+    extra_train = shlex.split(args.train_args)
+    extra_eval = shlex.split(args.eval_args)
 
     common = ["--dataset", "RoamingImages", "--datasets_dir", str(ds_dir),
               "--data_root", str(data / "data"), "--ground_truth", "1",
@@ -205,21 +232,45 @@ def main(argv=None) -> None:
 
     if use_escape and args.stage in ("all", "escape"):
         esc = Path(args.escape_data)
+        if not (esc / "datasets" / "RoamingImages.dat").exists():
+            # Auto-generate the default escape set. A DISJOINT seed from
+            # the main data matters: scenes are keyed rng((seed, s)), so
+            # a same-seed escape set would duplicate (and thus leak) the
+            # main set's first scenes into what stage 1 trains on before
+            # the held-out eval.
+            print(f"[stage0] escape set missing at {esc}; generating "
+                  f"(make_roaming --n 10 --seed 1)", flush=True)
+            from make_roaming import main as make_roaming_main
+
+            make_roaming_main(["--out", str(esc), "--n", "10",
+                               "--seed", "1"])
         esc_common = list(common)
         esc_common[esc_common.index("--datasets_dir") + 1] = \
             str(esc / "datasets")
         esc_common[esc_common.index("--data_root") + 1] = str(esc / "data")
         run_cli(esc_common + hard_recipe +
                 ["--expName", "escape",
-                 "--nEpochs", str(args.escape_epochs)], "stage0-escape")
+                 "--nEpochs", str(args.escape_epochs)] + extra_train,
+                "stage0-escape")
 
     if args.stage in ("all", "hard"):
+        if use_escape and not escape_ckpt.exists():
+            sys.exit(f"--stage hard: stage-0 checkpoint {escape_ckpt} not "
+                     f"found. Run `--stage escape` first (same --cache and "
+                     f"--escape_epochs), or pass `--escape_data none` to "
+                     f"train from scratch (expect the zero-flow saddle: "
+                     f"flat EPE for 1000+ steps on diverse data).")
         retrain = ["--retrain", str(escape_ckpt)] if use_escape else []
         run_cli(common + hard_recipe + retrain +
                 ["--expName", "hard",
-                 "--nEpochs", str(args.epochs1)], "stage1-hard")
+                 "--nEpochs", str(args.epochs1)] + extra_train,
+                "stage1-hard")
 
     if args.stage in ("all", "soft"):
+        if not hard_ckpt.exists():
+            sys.exit(f"--stage soft: stage-1 checkpoint {hard_ckpt} not "
+                     f"found. Run `--stage hard` first (same --cache and "
+                     f"--epochs1).")
         run_cli(common + ["--expName", "soft", "--optimize", "pme",
                           "--retrain", str(hard_ckpt),
                           "--convert_to_soft", "1", "--past_flow", "1",
@@ -230,20 +281,15 @@ def main(argv=None) -> None:
                           "--const_vel", "0.0001", "--LR", "0.00001",
                           "--grad_clip", args.clip1,
                           "--adam_reset_per_epoch", "0",
-                          "--nEpochs", str(args.epochs2)], "stage2-soft")
+                          "--nEpochs", str(args.epochs2)] + extra_train,
+                "stage2-soft")
 
-    report = {"dataset": str(data),
-              "escape": {"data": args.escape_data,
-                         "epochs": args.escape_epochs} if use_escape else None,
-              "epochs": [args.epochs1, args.epochs2],
-              "epoch_size": args.epoch_size, "batch": args.batch,
-              "baseline": zero_flow_baseline(data)}
-    report["eval_hard"] = run_eval(hard_ckpt, data, "hard")
-    report["eval_soft"] = run_eval(soft_ckpt, data, "soft")
-    print("\n=== past-flow sanity ===", flush=True)
-    report["past_flow_sanity"] = past_flow_sanity(soft_ckpt, data)
-    print(report["past_flow_sanity"], flush=True)
+    if args.stage == "escape":
+        print("\n[stage0] done; run --stage hard (or all) next. No report "
+              "written for a standalone escape stage.", flush=True)
+        return
 
+    # ---- report: copy logs first, then evals (all non-fatal) ----
     for exp in ("escape", "hard", "soft"):
         for f in ("train.log", "test.log", "log"):
             src = cache / exp / f
@@ -251,6 +297,37 @@ def main(argv=None) -> None:
                 shutil.copy(src, out / f"{exp}_{f.replace('.log', '.tsv') if f != 'log' else 'console.txt'}")
         for f in (cache / exp).glob("*.svg"):
             shutil.copy(f, out / f"{exp}_{f.name}")
+
+    report = {"dataset": str(data),
+              "escape": {"data": args.escape_data,
+                         "epochs": args.escape_epochs} if use_escape else None,
+              "epochs": [args.epochs1, args.epochs2],
+              "epoch_size": args.epoch_size, "batch": args.batch,
+              "lr1": args.lr1, "grad_clip": args.clip1, "wire": args.wire,
+              "train_args": args.train_args}
+    try:
+        report["baseline"] = zero_flow_baseline(data)
+    except Exception as e:  # noqa: BLE001 — report must still be written
+        report["baseline"] = {"error": repr(e)}
+    report["eval_hard"] = run_eval(hard_ckpt, data, "hard",
+                                   args.batch, extra_eval)
+    report["eval_soft"] = run_eval(soft_ckpt, data, "soft",
+                                   args.batch, extra_eval)
+    if soft_ckpt.exists():
+        print("\n=== past-flow sanity ===", flush=True)
+        # honor an eval-time crop override (tiny CPU runs)
+        crop = [0, 0]
+        for i, flag in enumerate(extra_eval):
+            if flag == "--cropWidth":
+                crop[0] = int(extra_eval[i + 1])
+            elif flag == "--cropHeight":
+                crop[1] = int(extra_eval[i + 1])
+        try:
+            report["past_flow_sanity"] = past_flow_sanity(
+                soft_ckpt, data, tuple(crop))
+        except Exception as e:  # noqa: BLE001
+            report["past_flow_sanity"] = {"error": repr(e)}
+        print(report["past_flow_sanity"], flush=True)
 
     (out / "learning_demo.json").write_text(json.dumps(report, indent=2))
     print(f"\nwrote {out / 'learning_demo.json'}", flush=True)
