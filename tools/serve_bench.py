@@ -93,7 +93,12 @@ def main(argv=None) -> None:
     for name, h, w in RESOLUTIONS:
         ims = [rng.rand(h, w, 3).astype(np.float32)
                for _ in range(cfg.frames)]
-        est.warmup([(h, w)])  # compile outside the timed region
+        # first-call latency = compile (or persistent-cache hit) time;
+        # compare a B2F_COMPILE_CACHE=0 run vs a cache-warm one to
+        # separate remote-compile cost from cache-deserialize cost
+        t0 = time.perf_counter()
+        est.warmup([(h, w)])  # compile outside the per-call timed region
+        warmup_s = time.perf_counter() - t0
         est(*ims)             # one full warm call (host caches, allocs)
 
         total = _median_ms(lambda: est(*ims), args.iters)
@@ -123,6 +128,7 @@ def main(argv=None) -> None:
         post = _median_ms(
             lambda: _postprocess_results(f_h, o_h, n, h, w), args.iters)
         rec = {"path": "jit", "resolution": name, "raw_hw": [h, w],
+               "warmup_s": round(warmup_s, 2),
                "total_ms": round(total, 2), "pre_ms": round(pre, 2),
                "forward_ms": round(fwd_ms, 2), "fetch_ms": round(fetch, 2),
                "post_ms": round(post, 2), "iters": args.iters,
@@ -138,11 +144,14 @@ def main(argv=None) -> None:
                 est.export(path, [(h, w)])
                 from back2future_tpu.api import load_exported
 
+                t0 = time.perf_counter()
                 ex = load_exported(path)
-                ex(*ims)
+                ex(*ims)  # first call loads the precompiled executable
+                ex_warm_s = time.perf_counter() - t0
                 ex_total = _median_ms(lambda: ex(*ims), args.iters)
             rec = {"path": "exported", "resolution": name,
-                   "raw_hw": [h, w], "total_ms": round(ex_total, 2),
+                   "raw_hw": [h, w], "warmup_s": round(ex_warm_s, 2),
+                   "total_ms": round(ex_total, 2),
                    "iters": args.iters, "backend": jax.default_backend()}
             print(json.dumps(rec), flush=True)
             results.append(rec)
