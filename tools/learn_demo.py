@@ -309,6 +309,13 @@ def main(argv=None) -> None:
         report["baseline"] = zero_flow_baseline(data)
     except Exception as e:  # noqa: BLE001 — report must still be written
         report["baseline"] = {"error": repr(e)}
+    if use_escape and escape_ckpt.exists():
+        # transfer probe: the stage-0 escape checkpoint on the UNSEEN
+        # main-set val split, before/independent of any wide training —
+        # distinguishes a real escape (matching features, transfers)
+        # from per-scene constant-flow memorization (doesn't).
+        report["eval_escape_transfer"] = run_eval(
+            escape_ckpt, data, "escape_transfer", args.batch, extra_eval)
     report["eval_hard"] = run_eval(hard_ckpt, data, "hard",
                                    args.batch, extra_eval)
     report["eval_soft"] = run_eval(soft_ckpt, data, "soft",
