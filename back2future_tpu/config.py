@@ -47,6 +47,16 @@ class Options:
     epochSize: int = 1000
     epochStore: int = 1
     batchSize: int = 8
+    # Extension (no reference analog): >0 draws each training batch from
+    # this many distinct scenes instead of batchSize i.i.d. ones. The
+    # unsupervised OBCC objective has a zero-flow saddle at init whose
+    # escape is driven by the per-scene constant-flow gradient component;
+    # mixed-scene batches average exactly that component away (escape
+    # time grows steeply with scene diversity — measured: 1 scene ~75
+    # steps, 128+ scenes flat at 1000+). Scene-coherent batches keep the
+    # full per-batch magnitude of the unstable direction at ANY dataset
+    # size, removing the need for a separate low-diversity escape set.
+    scene_batches: int = 0
     epochNumber: int = 1
     retrain: str = "none"
     optimState: str = "none"

@@ -145,7 +145,8 @@ class PrefetchLoader:
                  n_batches: int, n_workers: int = 8, manual_seed: int = 2,
                  sequential: bool = False, queue_depth: int = 4,
                  worker_mode: str = "auto",
-                 shard: Tuple[int, int] = (0, 1)):
+                 shard: Tuple[int, int] = (0, 1),
+                 scene_batches: int = 0):
         if batch_size % shard[1]:
             raise ValueError(f"global batch {batch_size} not divisible by "
                              f"{shard[1]} hosts")
@@ -162,6 +163,13 @@ class PrefetchLoader:
         self.queue_depth = queue_depth
         self.worker_mode = worker_mode
         self.shard = tuple(shard)
+        # >0: each batch is drawn from this many distinct scenes (sample
+        # specs), the batch split evenly among them; augmentation draws
+        # stay per-position. Scene-coherent batches preserve the
+        # per-scene constant-flow gradient component that mixed batches
+        # cancel — the component that drives escape from the zero-flow
+        # saddle of the unsupervised objective (config.Options.scene_batches).
+        self.scene_batches = int(scene_batches)
         # Advanced once per __iter__ so re-iterating (one epoch = one
         # iteration in train_epoch) yields fresh sample indices and
         # augmentation draws instead of replaying epoch 0 forever.
@@ -202,7 +210,14 @@ class PrefetchLoader:
             return self.dataset.get(base + lo,
                                     min(base + hi, len(self.dataset)))
         rng = np.random.default_rng((self.manual_seed, epoch, slot))
-        ids = rng.integers(0, len(self.dataset), size=self.batch_size)
+        if self.scene_batches > 0:
+            k = min(self.scene_batches, self.batch_size)
+            scenes = rng.integers(0, len(self.dataset), size=k)
+            # even split, first scenes take the remainder (global layout,
+            # so multi-host slices stay consistent)
+            ids = np.repeat(scenes, -(-self.batch_size // k))[:self.batch_size]
+        else:
+            ids = rng.integers(0, len(self.dataset), size=self.batch_size)
         return self.dataset.collate_batch([self.dataset.load(
             int(ids[pos]),
             np.random.default_rng((self.manual_seed, epoch, slot, pos)))

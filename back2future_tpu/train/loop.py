@@ -63,7 +63,8 @@ def build_loaders(opt: Options, shard=(0, 1)):
 
     train_loader = PrefetchLoader(
         train_ds, opt.batchSize, n_batches=opt.epochSize,
-        n_workers=opt.nDonkeys, manual_seed=opt.manualSeed, shard=shard)
+        n_workers=opt.nDonkeys, manual_seed=opt.manualSeed, shard=shard,
+        scene_batches=opt.scene_batches)
     if val_ds is None:
         n_val_batches = 0
     elif shard[1] == 1:
