@@ -186,6 +186,15 @@ def main(argv=None) -> None:
                     help="stage-1 --grad_clip global norm (init grad norm "
                          "is ~420; unclipped 3e-4 diverged at ~epoch 7 "
                          "from a per-batch gradient spike). 0 disables.")
+    ap.add_argument("--scene_batches", type=int, default=0,
+                    help="stage-0/1 --scene_batches k: draw each training "
+                         "batch from k distinct scenes. k=1 preserves the "
+                         "per-scene constant-flow gradient component that "
+                         "mixed batches cancel, escaping the zero-flow "
+                         "saddle on the wide set directly — with it, "
+                         "--escape_data none needs no escape stage. Not "
+                         "applied to stage 2 (already off the saddle; "
+                         "uniform batches have lower gradient variance).")
     ap.add_argument("--epochs2", type=int, default=3)
     ap.add_argument("--epoch_size", type=int, default=250)
     ap.add_argument("--batch", type=int, default=8)
@@ -228,7 +237,8 @@ def main(argv=None) -> None:
     hard_recipe = ["--optimize", "pme", "--pme", "1",
                    "--pme_criterion", "OBCC", "--smooth_flow", "2",
                    "--LR", args.lr1, "--grad_clip", args.clip1,
-                   "--adam_reset_per_epoch", "0"]
+                   "--adam_reset_per_epoch", "0",
+                   "--scene_batches", str(args.scene_batches)]
 
     if use_escape and args.stage in ("all", "escape"):
         esc = Path(args.escape_data)
