@@ -81,6 +81,13 @@ class FlowDataset:
     def __len__(self) -> int:
         return len(self.indices)
 
+    @property
+    def deterministic(self) -> bool:
+        """Samples are pure functions of the index: always true for the
+        testHook (no rng at all, donkey.lua:433-513) and true for the
+        trainHook when cfg draws nothing (SampleConfig.deterministic)."""
+        return (not self.train) or self.cfg.deterministic
+
     def load(self, i: int, rng: Optional[np.random.Generator] = None):
         spec = self.specs[int(self.indices[i])]
         if self.train:
@@ -170,6 +177,23 @@ class PrefetchLoader:
         # cancel — the component that drives escape from the zero-flow
         # saddle of the unsupervised objective (config.Options.scene_batches).
         self.scene_batches = int(scene_batches)
+        # Deterministic-hook sample memo: when samples are pure functions
+        # of the index (no augmentation/noise/random-crop draws —
+        # FlowDataset.deterministic), cache decoded samples across
+        # batches AND epochs, bounded by B2F_SAMPLE_CACHE_GB (default 8;
+        # 0 disables). Epoch 1 pays the decode cost once; later epochs
+        # run at RAM speed. Scene-coherent batches (scene_batches=1)
+        # repeat one index per batch, so they hit this cache batch-size
+        # times per step. Process workers each hold their own copy
+        # (slot-partitioned, so entries aren't duplicated work).
+        import os as _os
+
+        cap_gb = float(_os.environ.get("B2F_SAMPLE_CACHE_GB", "8"))
+        self._sample_cache: Optional[Dict[int, object]] = (
+            {} if cap_gb > 0 and getattr(dataset, "deterministic", False)
+            else None)
+        self._sample_cache_cap = int(cap_gb * (1 << 30))
+        self._sample_cache_bytes = 0
         # Advanced once per __iter__ so re-iterating (one epoch = one
         # iteration in train_epoch) yields fresh sample indices and
         # augmentation draws instead of replaying epoch 0 forever.
@@ -200,6 +224,22 @@ class PrefetchLoader:
     def __len__(self) -> int:
         return self.n_batches
 
+    def _load_cached(self, i: int, rng):
+        """dataset.load with the deterministic-sample memo. Thread
+        workers share the dict (atomic item writes; a race costs at most
+        one duplicate decode), and the byte cap is approximate."""
+        cache = self._sample_cache
+        if cache is not None:
+            hit = cache.get(i)
+            if hit is not None:
+                return hit
+        s = self.dataset.load(i, rng)
+        if cache is not None and self._sample_cache_bytes < self._sample_cache_cap:
+            cache[i] = s
+            self._sample_cache_bytes += sum(
+                a.nbytes for a in s if hasattr(a, "nbytes"))
+        return s
+
     def _run_job(self, slot: int, epoch: int) -> Dict[str, np.ndarray]:
         """Materialize this host's slice of global batch `slot`."""
         h, n_hosts = self.shard
@@ -207,8 +247,9 @@ class PrefetchLoader:
         lo, hi = h * local, (h + 1) * local
         if self.sequential:
             base = slot * self.batch_size
-            return self.dataset.get(base + lo,
-                                    min(base + hi, len(self.dataset)))
+            stop = min(base + hi, len(self.dataset))
+            return self.dataset.collate_batch(
+                [self._load_cached(i, None) for i in range(base + lo, stop)])
         rng = np.random.default_rng((self.manual_seed, epoch, slot))
         if self.scene_batches > 0:
             k = min(self.scene_batches, self.batch_size)
@@ -218,7 +259,7 @@ class PrefetchLoader:
             ids = np.repeat(scenes, -(-self.batch_size // k))[:self.batch_size]
         else:
             ids = rng.integers(0, len(self.dataset), size=self.batch_size)
-        return self.dataset.collate_batch([self.dataset.load(
+        return self.dataset.collate_batch([self._load_cached(
             int(ids[pos]),
             np.random.default_rng((self.manual_seed, epoch, slot, pos)))
             for pos in range(lo, hi)])

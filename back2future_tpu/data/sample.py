@@ -70,6 +70,16 @@ class SampleConfig:
                    rand_crop=opt.rand_crop, wire=getattr(opt, "wire", "f32"))
 
     @property
+    def deterministic(self) -> bool:
+        """True when `train_sample` consumes no rng draws that affect its
+        output: no photometric/geometric augmentation, no noise, and no
+        random crop (make_data only reads rng when rand_crop == 1). A
+        deterministic hook's samples are pure functions of the index, so
+        the loader may memoize them across epochs (PrefetchLoader)."""
+        return (self.augment == 0 and self.gaussian_noise == 0
+                and self.rand_crop != 1)
+
+    @property
     def defer_normalize(self) -> bool:
         """Compact wire ships [0,1] images; ImageNet normalization moves
         into the jitted step (wire.decode_batch). config.derive()

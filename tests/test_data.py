@@ -428,6 +428,44 @@ class TestLoader:
             assert len(set(b)) <= 2
             assert b[:4] == [b[0]] * 4 and b[4:] == [b[4]] * 4
 
+    def test_deterministic_sample_memo(self, toy_dataset):
+        """With a deterministic hook (augment/noise off, rand_crop 0) the
+        loader memoizes decoded samples across epochs: batches stay
+        byte-identical to the uncached loader, and the underlying
+        dataset.load is not re-hit after the first epoch."""
+        spec, _, _ = toy_dataset
+        cfg = SampleConfig(frames=3, fine_height=24, fine_width=32,
+                           load_height=32, load_width=48, rand_crop=0)
+        ds = FlowDataset([spec] * 6, cfg, train=True)
+        assert ds.deterministic
+        cached = PrefetchLoader(ds, batch_size=2, n_batches=3, n_workers=0,
+                                manual_seed=2)
+        assert cached._sample_cache is not None
+        plain = PrefetchLoader(ds, batch_size=2, n_batches=3, n_workers=0,
+                               manual_seed=2)
+        plain._sample_cache = None
+        e0 = []
+        for a, b in zip(cached, plain):
+            np.testing.assert_array_equal(a["images"], b["images"])
+            np.testing.assert_array_equal(a["flow_gt"], b["flow_gt"])
+            e0.append(b["images"].copy())
+        calls = []
+        orig = ds.load
+        ds.load = lambda i, rng=None: (calls.append(i), orig(i, rng))[1]
+        cached.set_epoch(0)  # replay epoch 0: all indices memoized
+        for a, b in zip(cached, e0):
+            np.testing.assert_array_equal(a["images"], b)
+        assert not calls
+        ds.load = orig
+        # rand_crop=1 consumes rng: memo must stay off
+        rc = FlowDataset([spec] * 6, SampleConfig(
+            frames=3, fine_height=24, fine_width=32,
+            load_height=32, load_width=48, rand_crop=1), train=True)
+        assert not rc.deterministic
+        assert PrefetchLoader(rc, 2, 2)._sample_cache is None
+        # ...but the testHook is always deterministic
+        assert FlowDataset([spec] * 6, cfg, train=False).deterministic
+
     def test_worker_error_propagates(self, toy_dataset):
         # _boom is module-level so the dataset stays picklable — the
         # process pool spawns (not forks) when JAX is live in the parent,

@@ -227,7 +227,12 @@ def main(argv=None) -> None:
               "--data_root", str(data / "data"), "--ground_truth", "1",
               "--cache", str(cache), "--batchSize", str(args.batch),
               "--epochSize", str(args.epoch_size), "--nDonkeys", "0",
-              "--wire", args.wire, "--epochStore", "1"]
+              "--wire", args.wire, "--epochStore", "1",
+              # rand_crop is a geometric no-op at the generator's full
+              # resolution but consumes rng draws; 0 makes the train hook
+              # deterministic so the loader's sample memo engages
+              # (SampleConfig.deterministic) — epoch 2+ skip PNG decode
+              "--rand_crop", "0"]
 
     escape_ckpt = cache / "escape" / f"model_{args.escape_epochs}.msgpack"
     hard_ckpt = cache / "hard" / f"model_{args.epochs1}.msgpack"
