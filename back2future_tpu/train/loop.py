@@ -170,12 +170,16 @@ def train_epoch(epoch: int, state: TrainState, step, loader, mesh, opt,
 
     def drain(pending):
         """Fetch a queued step's logs (ONE host transfer) and print its
-        console line. Deferring this by one step overlaps the device's
-        step i+1 with the host-side fetch/format of step i — the per-step
-        sync would otherwise serialize device and host (train.lua syncs
-        every batch; the relay makes that expensive). Each batch's
-        data-loading time is snapshotted at dispatch so the deferred
-        line reports the right batch's wait."""
+        console line. Deferring this behind a window of in-flight steps
+        overlaps the device's later steps with the host-side fetch of
+        step i — a per-step sync would serialize device and host
+        (train.lua syncs every batch; the relay makes that expensive:
+        its D2H round trip is ~10x a train step's device time, so a
+        1-deep window still pays one full round trip per step; the
+        copy_to_host_async at enqueue lets round trips overlap each
+        other across the window). Each batch's data-loading time is
+        snapshotted at dispatch so the deferred line reports the right
+        batch's wait."""
         i, logs, data_time = pending
         logs = {k: float(v) for k, v in zip(logs, jax.device_get(
             list(logs.values())))}
@@ -190,21 +194,31 @@ def train_epoch(epoch: int, state: TrainState, step, loader, mesh, opt,
             print(_fmt_console(epoch, i + 1, len(loader), batch_time,
                                data_time, logs, lr))
 
-    pending = None
+    from collections import deque
+
+    # Window depth: enough round trips in flight to amortize relay
+    # latency over device-bound steps. Logs are a handful of scalars, so
+    # the extra resident buffers are negligible (the input batches ahead
+    # of the device are bounded separately by device_prefetch's depth).
+    drain_depth = max(2, opt.prefetch_depth, 16)
+    pending_q = deque()
     spatial = "spatial" in mesh.axis_names
     for i, batch in enumerate(
             device_prefetch(iter(loader), mesh, spatial=spatial,
                             depth=opt.prefetch_depth)):
         timer.data_loaded()
         state, logs = step(state, batch)
-        if pending is not None:
-            drain(pending)
-        pending = (i, logs, timer.data_time)
+        for v in logs.values():  # start the D2H transfer now
+            if hasattr(v, "copy_to_host_async"):
+                v.copy_to_host_async()
+        pending_q.append((i, logs, timer.data_time))
+        if len(pending_q) > drain_depth:
+            drain(pending_q.popleft())
         if opt.debug == 1 and model is not None:
             _debug_dump(opt.save, epoch, i, model, state.params, batch,
                         opt.frames)
-    if pending is not None:
-        drain(pending)
+    while pending_q:
+        drain(pending_q.popleft())
 
     means = _epoch_means(rows)
     summary = {"avg loss (train set)": means["loss"]}
