@@ -251,7 +251,15 @@ class PrefetchLoader:
             return self.dataset.collate_batch(
                 [self._load_cached(i, None) for i in range(base + lo, stop)])
         rng = np.random.default_rng((self.manual_seed, epoch, slot))
-        if self.scene_batches > 0:
+        if self.scene_batches >= len(self.dataset) > 0 and self.scene_batches:
+            # full-set batch: k >= the dataset covers EVERY scene in every
+            # batch (cyclic fill), so with a deterministic hook the batch
+            # content is IDENTICAL across steps — deterministic full-batch
+            # Adam, the maximal gradient-consistency regime for escaping
+            # the zero-flow saddle (the one-batch probe's dynamics,
+            # tools/overfit_probe.py, extended to the whole escape set)
+            ids = np.resize(np.arange(len(self.dataset)), self.batch_size)
+        elif self.scene_batches > 0:
             k = min(self.scene_batches, self.batch_size)
             scenes = rng.integers(0, len(self.dataset), size=k)
             # even split, first scenes take the remainder (global layout,
