@@ -427,6 +427,15 @@ class TestLoader:
         for b in loader2:
             assert len(set(b)) <= 2
             assert b[:4] == [b[0]] * 4 and b[4:] == [b[4]] * 4
+        # k >= n_scenes: full-set batches — every scene in every batch,
+        # identical composition across slots (deterministic full-batch
+        # steps for the saddle escape)
+        full = PrefetchLoader(ds, batch_size=20, n_batches=3, n_workers=0,
+                              manual_seed=2, scene_batches=16)
+        batches = list(full)
+        for b in batches:
+            assert sorted(set(b)) == list(range(16))
+            assert b == batches[0]
 
     def test_deterministic_sample_memo(self, toy_dataset):
         """With a deterministic hook (augment/noise off, rand_crop 0) the
