@@ -251,14 +251,23 @@ class PrefetchLoader:
             return self.dataset.collate_batch(
                 [self._load_cached(i, None) for i in range(base + lo, stop)])
         rng = np.random.default_rng((self.manual_seed, epoch, slot))
-        if self.scene_batches >= len(self.dataset) > 0 and self.scene_batches:
-            # full-set batch: k >= the dataset covers EVERY scene in every
-            # batch (cyclic fill), so with a deterministic hook the batch
-            # content is IDENTICAL across steps — deterministic full-batch
-            # Adam, the maximal gradient-consistency regime for escaping
-            # the zero-flow saddle (the one-batch probe's dynamics,
-            # tools/overfit_probe.py, extended to the whole escape set)
-            ids = np.resize(np.arange(len(self.dataset)), self.batch_size)
+        if 0 < len(self.dataset) <= self.scene_batches:
+            # k >= the dataset: deterministic coverage instead of random
+            # draws. n <= batch: every batch holds EVERY scene (cyclic
+            # fill) — identical content across steps, i.e. deterministic
+            # full-batch Adam, the maximal gradient-consistency regime
+            # for escaping the zero-flow saddle (the one-batch probe's
+            # dynamics, tools/overfit_probe.py, extended to the whole
+            # set). n > batch: round-robin sweep — batch b holds scenes
+            # [b*B, (b+1)*B) mod n, so each scene-block recurs with
+            # period ceil(n/B) and every scene gets equal visits (a
+            # random draw would both skip scenes and decohere steps).
+            n = len(self.dataset)
+            if n <= self.batch_size:
+                ids = np.resize(np.arange(n), self.batch_size)
+            else:
+                ids = (np.arange(self.batch_size)
+                       + slot * self.batch_size) % n
         elif self.scene_batches > 0:
             k = min(self.scene_batches, self.batch_size)
             scenes = rng.integers(0, len(self.dataset), size=k)
