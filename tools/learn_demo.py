@@ -12,19 +12,28 @@ zero-flow baseline, occlusion accuracy above chance, and the soft
 fine-tune surgery working on genuinely-trained weights:
 
   stage 0  saddle escape   the same hard recipe on a tiny (~10-scene)
-                           disjoint-seed roaming set. The unsupervised
+                           disjoint-seed roaming set with FULL-SET
+                           deterministic batches (--batch >= n_scenes +
+                           --scene_batches full => identical batch
+                           composition every step). The unsupervised
                            OBCC objective has a zero-flow SADDLE at
-                           init: per-scene constant-flow gradient
-                           components cancel across diverse batches, so
-                           escape time grows steeply with scene
-                           diversity (measured on the v5e: 1 fixed
-                           batch escapes at ~75 steps; 128 scenes still
-                           flat at 1000+; 1095 scenes flat at 800).
-                           A few hundred steps on a low-diversity set
-                           breaks the cancellation cheaply; stage 1
-                           then widens the data via --retrain.
+                           init; what escapes it is gradient
+                           CONSISTENCY across steps, not any particular
+                           batch size or LR (measured on the v5e,
+                           docs/evidence/learning_demo/attempt2/:
+                           uniform batches on 10 scenes sit flat for
+                           750+ steps; full-set deterministic batches
+                           take train EPE 3.0 -> 1.8 in ~2000 steps,
+                           accelerating).
   stage 1  hard pretrain   -pme 1 -pme_criterion OBCC -smooth_flow 2
-                           (README.md:83-87, RoamingImages defaults)
+                           (README.md:83-87, RoamingImages defaults),
+                           widened over a CURRICULUM (default one
+                           30-scene level, then the full train set),
+                           each level a deterministic round-robin scene
+                           sweep (--scene_batches full): per-step
+                           resampled batches — uniform OR scene-coherent
+                           — measurably relapse to zero flow even from a
+                           deep escape; the recurring sweep holds it.
   stage 2  soft fine-tune  -pme_criterion OBGCC -pme_alpha 1 -pme_beta 0
                            -pme_gamma 0 -smooth_flow 0.1 -LR 1e-5
                            -smooth_second_order -const_vel 0.0001
@@ -186,18 +195,38 @@ def main(argv=None) -> None:
                     help="stage-1 --grad_clip global norm (init grad norm "
                          "is ~420; unclipped 3e-4 diverged at ~epoch 7 "
                          "from a per-batch gradient spike). 0 disables.")
-    ap.add_argument("--scene_batches", type=int, default=0,
-                    help="stage-0/1 --scene_batches k: draw each training "
-                         "batch from k distinct scenes. k=1 preserves the "
-                         "per-scene constant-flow gradient component that "
-                         "mixed batches cancel, escaping the zero-flow "
-                         "saddle on the wide set directly — with it, "
-                         "--escape_data none needs no escape stage. Not "
-                         "applied to stage 2 (already off the saddle; "
+    ap.add_argument("--scene_batches", default="full",
+                    help="stage-0/1 --scene_batches: 'full' (default, the "
+                         "validated recipe) makes batch composition "
+                         "deterministic — every batch holds every scene "
+                         "(sets smaller than the batch) or a round-robin "
+                         "scene sweep (larger sets). Gradient consistency "
+                         "across steps is what escapes the zero-flow "
+                         "saddle and holds the escape while widening "
+                         "(docs/evidence/learning_demo/attempt2/): "
+                         "uniform AND per-step-random scene-coherent "
+                         "batches both relapse to zero flow at demo step "
+                         "counts. An integer k draws each batch from k "
+                         "random scenes (0 = reference-style uniform). "
+                         "Not applied to stage 2 (already off the saddle; "
                          "uniform batches have lower gradient variance).")
+    ap.add_argument("--curriculum", default="30",
+                    help="comma-separated intermediate scene counts "
+                         "between the escape set and the full train set "
+                         "(each level: first-K train scenes via a "
+                         "restricted split, --curriculum_epochs each, "
+                         "chained --retrain). '' skips straight to the "
+                         "full set. The measured 10->30->269 ladder held "
+                         "the escape at every widening; 10->269 was not "
+                         "measured directly.")
+    ap.add_argument("--curriculum_epochs", type=int, default=2)
     ap.add_argument("--epochs2", type=int, default=3)
     ap.add_argument("--epoch_size", type=int, default=250)
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=16,
+                    help="16 (not the reference's 8) so the 10-scene "
+                         "escape set fits inside ONE batch — the "
+                         "full-set deterministic-batch regime needs "
+                         "batch >= n_escape_scenes")
     ap.add_argument("--wire", default="compact",
                     help="host->device wire (compact hides the relay's "
                          "slow H2D; f32 = reference-parity pipeline)")
@@ -239,11 +268,13 @@ def main(argv=None) -> None:
     soft_ckpt = cache / "soft" / f"model_{args.epochs2}.msgpack"
     use_escape = args.escape_data != "none" and args.escape_epochs > 0
 
+    sb = ("1000000000" if args.scene_batches == "full"
+          else str(int(args.scene_batches)))
     hard_recipe = ["--optimize", "pme", "--pme", "1",
                    "--pme_criterion", "OBCC", "--smooth_flow", "2",
                    "--LR", args.lr1, "--grad_clip", args.clip1,
                    "--adam_reset_per_epoch", "0",
-                   "--scene_batches", str(args.scene_batches)]
+                   "--scene_batches", sb]
 
     if use_escape and args.stage in ("all", "escape"):
         esc = Path(args.escape_data)
@@ -275,8 +306,37 @@ def main(argv=None) -> None:
                      f"--escape_epochs), or pass `--escape_data none` to "
                      f"train from scratch (expect the zero-flow saddle: "
                      f"flat EPE for 1000+ steps on diverse data).")
-        retrain = ["--retrain", str(escape_ckpt)] if use_escape else []
-        run_cli(common + hard_recipe + retrain +
+        prev = escape_ckpt if use_escape else None
+        # curriculum widening: intermediate levels of the MAIN set's first
+        # K train scenes (split-restricted — val rows untouched, so every
+        # level evals the same held-out scenes; excluded scenes get split
+        # value 0). Each widening starts from the previous level's fit,
+        # which is what holds the saddle escape (attempt2/README.md #7).
+        levels = [int(k) for k in args.curriculum.split(",") if k.strip()]
+        for k in levels:
+            cur_dir = cache / f"cur{k}" / "datasets"
+            cur_dir.mkdir(parents=True, exist_ok=True)
+            shutil.copy(ds_dir / "RoamingImages.dat",
+                        cur_dir / "RoamingImages.dat")
+            vals = np.array([int(t) for t in
+                             (ds_dir / "RoamingImages_split.dat")
+                             .read_text().split()])
+            sub = np.zeros_like(vals)
+            sub[np.nonzero(vals == 1)[0][:k]] = 1
+            sub[vals == 2] = 2
+            (cur_dir / "RoamingImages_split.dat").write_text(
+                "\n".join(map(str, sub)) + "\n")
+            cur_common = list(common)
+            cur_common[cur_common.index("--datasets_dir") + 1] = str(cur_dir)
+            run_cli(cur_common + hard_recipe +
+                    (["--retrain", str(prev)] if prev else []) +
+                    ["--expName", f"cur{k}",
+                     "--nEpochs", str(args.curriculum_epochs)] + extra_train,
+                    f"stage1-cur{k}")
+            prev = (cache / f"cur{k}" /
+                    f"model_{args.curriculum_epochs}.msgpack")
+        run_cli(common + hard_recipe +
+                (["--retrain", str(prev)] if prev else []) +
                 ["--expName", "hard",
                  "--nEpochs", str(args.epochs1)] + extra_train,
                 "stage1-hard")
